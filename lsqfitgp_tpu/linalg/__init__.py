@@ -1,0 +1,4 @@
+"""Linear algebra layer: regularized decompositions and structured solvers."""
+
+from ._pytree import AutoPyTree
+from ._decomp import Decomposition, Chol, solve_batched

@@ -1,0 +1,126 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsqfitgp_tpu import _array
+from lsqfitgp_tpu import StructuredArray, asarray
+
+
+def test_from_dict():
+    x = asarray({'a': np.arange(5.), 'b': np.ones(5)})
+    assert isinstance(x, StructuredArray)
+    assert x.shape == (5,)
+    assert x.fields == ('a', 'b')
+    np.testing.assert_array_equal(np.asarray(x['a']), np.arange(5.))
+
+
+def test_from_numpy_structured():
+    x = np.empty(4, dtype=[('a', float), ('b', float, (3,))])
+    x['a'] = np.arange(4)
+    x['b'] = np.arange(12).reshape(4, 3)
+    s = asarray(x)
+    assert s.shape == (4,)
+    assert s['b'].shape == (4, 3)
+    back = np.asarray(s)
+    np.testing.assert_array_equal(back['a'], x['a'])
+    np.testing.assert_array_equal(back['b'], x['b'])
+
+
+def test_nested():
+    x = np.empty(3, dtype=[('u', [('p', float), ('q', float)]), ('v', float)])
+    x['u']['p'] = [1, 2, 3]
+    x['u']['q'] = [4, 5, 6]
+    x['v'] = [7, 8, 9]
+    s = asarray(x)
+    assert isinstance(s['u'], StructuredArray)
+    np.testing.assert_array_equal(np.asarray(s['u']['q']), [4, 5, 6])
+    assert s.dtype == x.dtype
+
+
+def test_broadcast_indexing():
+    x = asarray({'a': np.arange(6.).reshape(2, 3)})
+    y = x[:, None]
+    assert y.shape == (2, 1, 3)
+    z = _array.broadcast_to(y, (2, 4, 3))
+    assert z.shape == (2, 4, 3)
+    assert z['a'].shape == (2, 4, 3)
+    w = x[0]
+    assert w.shape == (3,)
+    e = x[..., 1]
+    assert e.shape == (2,)
+
+
+def test_pytree_roundtrip():
+    x = asarray({'a': np.arange(5.), 'b': np.zeros((5, 2))})
+    # note: b has base shape (5,2) since dict fields broadcast; use tails
+    leaves, treedef = jax.tree.flatten(x)
+    y = jax.tree.unflatten(treedef, leaves)
+    assert isinstance(y, StructuredArray)
+    assert y.fields == x.fields
+
+
+def test_vmap_through():
+    x = StructuredArray({'a': jnp.arange(6.).reshape(2, 3)})
+
+    def f(row):
+        assert row.shape == (3,)
+        return jnp.sum(row['a'])
+
+    out = jax.vmap(f)(x)
+    np.testing.assert_allclose(np.asarray(out), [3., 12.])
+
+
+def test_jit_through():
+    x = StructuredArray({'a': jnp.arange(4.)})
+
+    @jax.jit
+    def f(x):
+        return x['a'] ** 2
+
+    np.testing.assert_array_equal(np.asarray(f(x)), np.arange(4.) ** 2)
+
+
+def test_concatenate():
+    x = asarray({'a': np.arange(3.)})
+    y = asarray({'a': np.arange(2.)})
+    z = _array.concatenate([x, y])
+    assert z.shape == (5,)
+
+
+def test_at_set():
+    x = asarray({'a': np.arange(3.)})
+    y = x.at['b'].set(np.ones(3))
+    assert y.fields == ('a', 'b')
+    assert x.fields == ('a',)
+
+
+def test_unstructured_to_structured():
+    x = np.arange(12.).reshape(4, 3)
+    s = _array.unstructured_to_structured(x)
+    assert s.fields == ('f0', 'f1', 'f2')
+    np.testing.assert_array_equal(np.asarray(s['f1']), x[:, 1])
+    dt = np.dtype([('a', float), ('b', float, (2,))])
+    s2 = _array.unstructured_to_structured(x, dtype=dt)
+    assert s2['b'].shape == (4, 2)
+
+
+def test_subfield_list():
+    x = asarray({'a': np.arange(3.), 'b': np.ones(3), 'c': np.zeros(3)})
+    y = x[['a', 'c']]
+    assert y.fields == ('a', 'c')
+
+
+def test_reshape_squeeze():
+    x = asarray({'a': np.arange(6.)})
+    y = x.reshape(2, 3)
+    assert y.shape == (2, 3)
+    z = y.reshape(-1)
+    assert z.shape == (6,)
+    w = x[None].squeeze(0)
+    assert w.shape == (6,)
+
+
+def test_shape_mismatch_raises():
+    with pytest.raises(ValueError):
+        StructuredArray({'a': jnp.zeros(3), 'b': jnp.zeros(4)})
