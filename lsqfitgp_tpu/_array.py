@@ -22,6 +22,8 @@ Design differences from the reference (intentional, TPU-first):
 
 from __future__ import annotations
 
+import math
+
 import numpy
 
 import jax
@@ -398,6 +400,20 @@ def _has_structured_content(x):
     except Exception:
         return False
     return _is_structured_dtype(a.dtype)
+
+
+def nscalars(x):
+    """Number of scalar entries per point of ``x`` (1 for plain arrays,
+    recursive count over fields and tail shapes for StructuredArray).
+    Counterpart of reference ``_array.py:555`` (``_nd``)."""
+    if not isinstance(x, StructuredArray):
+        return 1
+    total = 0
+    for name, v in x._fields.items():
+        tail = x._tails[name]
+        size = math.prod(tail) if tail else 1
+        total += size * nscalars(v) if isinstance(v, StructuredArray) else size
+    return total
 
 
 def broadcast_shapes(*shapes):
