@@ -3,7 +3,12 @@
 Counterpart of reference ``src/lsqfitgp/_special/``; the reference used
 scipy ``pure_callback`` for Bessel and inverse-incomplete functions, here
 everything is implemented with series/asymptotic branches + Newton
-rootfinds so fits compile to single XLA programs.
+rootfinds so fits compile to single XLA programs.  Where jax.scipy ships
+a function (zeta, sici, gammainc, betainc, ndtri, ...), it is re-exported.
 """
 
+from jax.scipy.special import zeta as hurwitz_zeta  # ζ(s, q)
+
 from ._exp import expm1x
+from ._bessel import j0, kv_half, kvmodx2_hi
+from ._expint import ci, si, expn_imag_real

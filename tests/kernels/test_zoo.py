@@ -1,0 +1,172 @@
+"""Property-based tests over the kernel zoo (model: reference
+tests/kernels/test_kernels.py) plus scipy oracles for special functions."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.special as sps
+
+import lsqfitgp_tpu.kernels as zoo
+from lsqfitgp_tpu import kernelalg as ka
+
+
+# (constructor, needs_positive_x, domain)
+KERNELS = [
+    (lambda: zoo.ExpQuad(), 'real'),
+    (lambda: zoo.Constant(), 'real'),
+    (lambda: zoo.White(), 'real'),
+    (lambda: zoo.Linear(), 'real'),
+    (lambda: zoo.GammaExp(gamma=1.3), 'real'),
+    (lambda: zoo.GammaExp(gamma=2), 'real'),
+    (lambda: zoo.NNKernel(sigma0=0.7), 'real'),
+    (lambda: zoo.Gibbs(scalefun=lambda x: 1 + jnp.cosh(x / 10)), 'real'),
+    (lambda: zoo.Periodic(outerscale=1.5), 'real'),
+    (lambda: zoo.Rescaling(stdfun=lambda x: 1 + x**2), 'real'),
+    (lambda: zoo.Expon(), 'real'),
+    (lambda: zoo.HoleEffect(), 'real'),
+    (lambda: zoo.Cauchy(alpha=1.5, beta=1.0), 'real'),
+    (lambda: zoo.Cauchy(), 'real'),
+    (lambda: zoo.CausalExpQuad(alpha=1.0), 'real'),
+    (lambda: zoo.Decaying(alpha=1.2), 'positive'),
+    (lambda: zoo.Log(), 'real'),
+    (lambda: zoo.Taylor(), 'real'),
+    (lambda: zoo.Maternp(p=0), 'real'),
+    (lambda: zoo.Maternp(p=1), 'real'),
+    (lambda: zoo.Maternp(p=2), 'real'),
+    (lambda: zoo.Wiener(), 'positive'),
+    (lambda: zoo.FracBrownian(H=0.3), 'positive'),
+    (lambda: zoo.FracBrownian(H=0.7, K=0.8), 'positive'),
+    (lambda: zoo.WienerIntegral(), 'positive'),
+    (lambda: zoo.OrnsteinUhlenbeck(), 'positive'),
+    (lambda: zoo.BrownianBridge(), 'unit'),
+    (lambda: zoo.StationaryFracBrownian(H=0.4), 'real'),
+    (lambda: zoo.Celerite(gamma=1.2, B=1.0), 'real'),
+    (lambda: zoo.Harmonic(Q=0.3), 'real'),
+    (lambda: zoo.Harmonic(Q=0.8), 'real'),
+    (lambda: zoo.Harmonic(Q=1), 'real'),
+    (lambda: zoo.Harmonic(Q=2.5), 'real'),
+    (lambda: zoo.Wendland(k=1, alpha=2), 'real'),
+    (lambda: zoo.Wendland(k=2, alpha=3), 'real'),
+    (lambda: zoo.Circular(), 'real'),
+    (lambda: zoo.Cos(), 'real'),
+    (lambda: zoo.Pink(dw=2), 'real'),
+    (lambda: zoo.Color(n=2), 'real'),
+    (lambda: zoo.Color(n=4), 'real'),
+    (lambda: zoo.Sinc(), 'real'),
+]
+
+
+def sample_x(rng, domain, n=25):
+    if domain == 'positive':
+        return np.sort(rng.uniform(0.05, 5, n))
+    if domain == 'unit':
+        return np.sort(rng.uniform(0.01, 0.99, n))
+    return np.sort(rng.uniform(-5, 5, n))
+
+
+@pytest.mark.parametrize(
+    'make,domain', KERNELS,
+    ids=[f'{i}-{k[0]().__class__.__name__}' for i, k in enumerate(KERNELS)],
+)
+class TestZoo:
+
+    def test_psd_and_symmetric(self, make, domain, rng):
+        k = make()
+        x = sample_x(rng, domain)
+        K = np.asarray(k(x[:, None], x[None, :]))
+        assert np.all(np.isfinite(K))
+        np.testing.assert_allclose(K, K.T, atol=1e-12, rtol=1e-10)
+        eigs = np.linalg.eigvalsh(K)
+        assert eigs.min() > -1e-8 * max(1.0, eigs.max())
+
+    def test_jittable(self, make, domain, rng):
+        k = make()
+        x = sample_x(rng, domain, 8)
+
+        @jax.jit
+        def f(x, y):
+            return k(x, y)
+
+        K1 = np.asarray(f(x[:, None], x[None, :]))
+        K2 = np.asarray(k(x[:, None], x[None, :]))
+        np.testing.assert_allclose(K1, K2, rtol=5e-7, atol=1e-10)
+
+
+class TestOracles:
+    """Value checks against scipy implementations."""
+
+    def test_maternp_vs_scipy(self, rng):
+        from scipy.spatial.distance import cdist
+        x = np.sort(rng.uniform(-3, 3, 20))[:, None]
+        for p in [0, 1, 2, 3]:
+            nu = p + 0.5
+            d = cdist(x, x)
+            arg = np.sqrt(2 * nu) * d
+            from scipy.special import kv, gamma
+            with np.errstate(invalid='ignore'):
+                ref = 2 ** (1 - nu) / gamma(nu) * arg ** nu * kv(nu, arg)
+            ref[d == 0] = 1
+            k = zoo.Maternp(p=p)
+            got = np.asarray(k(x[:, None, 0], x[None, :, 0]))
+            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_j0_vs_scipy(self):
+        from lsqfitgp_tpu.special import j0
+        x = np.linspace(0, 50, 1001)
+        got = np.asarray(j0(jnp.asarray(x)))
+        np.testing.assert_allclose(got, sps.j0(x), atol=5e-9)
+
+    def test_ci_vs_scipy(self):
+        from lsqfitgp_tpu.special import ci
+        x = np.linspace(0.01, 30, 300)
+        got = np.asarray(ci(jnp.asarray(x)))
+        np.testing.assert_allclose(got, sps.sici(x)[1], rtol=1e-8, atol=1e-12)
+
+    def test_expn_imag_vs_mpmath(self):
+        from lsqfitgp_tpu.special import expn_imag_real
+        import mpmath
+        for n in [2, 3, 4, 6]:
+            for x in [0.0, 0.3, 2.0, 10.0, 34.9, 35.1, 50.0, 300.0]:
+                want = (
+                    float(mpmath.expint(n, -1j * x).real) if x else 1 / (n - 1)
+                )
+                got = float(expn_imag_real(n, jnp.asarray(x, jnp.float64)))
+                np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
+                                           err_msg=f'n={n} x={x}')
+
+    def test_expm1x(self):
+        from lsqfitgp_tpu.special import expm1x
+        x = np.array([-2.0, -0.5, -1e-8, 0.0, 1e-8, 0.5, 2.0])
+        import mpmath
+        want = [float(mpmath.exp(v) - 1 - v) for v in x]
+        got = np.asarray(expm1x(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-14, atol=1e-30)
+
+    def test_harmonic_continuity_at_q1(self):
+        x = np.linspace(0, 5, 50)
+        k1 = np.asarray(zoo.Harmonic(Q=1)(x, np.zeros_like(x)))
+        keps = np.asarray(zoo.Harmonic(Q=1 + 1e-12)(x, np.zeros_like(x)))
+        np.testing.assert_allclose(k1, keps, rtol=1e-6)
+
+    def test_taylor_vs_series(self):
+        x = np.array([0.5, 1.0, -0.5])
+        y = np.array([0.3, -2.0, 0.7])
+        want = np.array([
+            sum((xx * yy) ** k / sps.factorial(k) ** 2 for k in range(60))
+            for xx, yy in zip(x, y)
+        ])
+        got = np.asarray(zoo.Taylor()(x, y))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_derivatives_of_smooth_kernels(rng):
+    x = np.sort(rng.uniform(-2, 2, 10))
+    for make in [lambda: zoo.ExpQuad(), lambda: zoo.Maternp(p=2),
+                 lambda: zoo.Periodic(), lambda: zoo.Cos()]:
+        k = make()
+        kdd = k.linop('diff', 1, 1)
+        K = np.asarray(kdd(x[:, None], x[None, :]))
+        assert np.all(np.isfinite(K))
+        eigs = np.linalg.eigvalsh(K)
+        assert eigs.min() > -1e-7 * max(1.0, eigs.max())
