@@ -139,7 +139,9 @@ class TestOracles:
         from lsqfitgp_tpu.special import expm1x
         x = np.array([-2.0, -0.5, -1e-8, 0.0, 1e-8, 0.5, 2.0])
         import mpmath
-        want = [float(mpmath.exp(v) - 1 - v) for v in x]
+        with mpmath.workdps(50):
+            want = [float(mpmath.exp(mpmath.mpf(v)) - 1 - mpmath.mpf(v))
+                    for v in x]
         got = np.asarray(expm1x(jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-14, atol=1e-30)
 
