@@ -24,3 +24,30 @@ from ._config import default_float, disable_checks, set_checks
 from ._jaxutil import (
     elementwise_grad, batchufunc, fasthash64, fasthash32,
 )
+
+from . import linalg
+from . import special
+from . import uncert
+
+from .kernelalg import (
+    CrossKernel, Kernel, AffineSpan, PreservedBySwap,
+    CrossStationaryKernel, StationaryKernel,
+    CrossIsotropicKernel, IsotropicKernel, CrossConstant, Zero,
+    crosskernel, kernel,
+    crossstationarykernel, stationarykernel,
+    crossisotropickernel, isotropickernel,
+)
+
+# the kernel zoo, re-exported at top level like the reference
+from .kernels import *  # noqa: F401,F403
+from .kernels import __all__ as _zoo_all
+
+from .gp import GP, DefaultProcess
+
+__all__ = [
+    'StructuredArray', 'asarray', 'Deriv', 'GP', 'DefaultProcess',
+    'CrossKernel', 'Kernel', 'StationaryKernel', 'IsotropicKernel',
+    'kernel', 'crosskernel', 'stationarykernel', 'isotropickernel',
+    'crossstationarykernel', 'crossisotropickernel',
+    *_zoo_all,
+]

@@ -1,0 +1,767 @@
+"""The GP object: processes, elements, covariance assembly, inference.
+
+TPU-native counterpart of reference ``src/lsqfitgp/_GP/`` (``_base.py``,
+``_processes.py``, ``_elements.py``, ``_compute.py``).  Same public
+surface:
+
+- immutable builder pattern: every ``def*``/``add*`` method returns a new
+  GP (reference ``_base.py:86-104``),
+- a *process* registry (infinite-dimensional Gaussian variables: kernels,
+  linear transformations of other processes, operator transforms) with a
+  cross-kernel derivation engine (reference ``_processes.py:343-434``),
+- an *element* registry (finite evaluations / linear maps / explicit
+  covariance blocks) with cached covariance-block assembly (reference
+  ``_elements.py:554-680``),
+- ``prior`` / ``pred`` / ``predfromdata`` / ``predfromfit`` /
+  ``marginal_likelihood`` (reference ``_compute.py:138-430``).
+
+Re-designed for XLA: covariance assembly happens in one traceable
+function-of-hyperparameters; posteriors are returned as
+:class:`lsqfitgp_tpu.uncert.UArray` (device-resident dense Jacobians)
+instead of host-side gvar object arrays, so the whole inference path
+jit-compiles, shards, and differentiates.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import math
+
+import jax
+import numpy
+from jax import numpy as jnp
+
+from .. import _array, _config, _jaxutil
+from ..kernelalg import _core as _kcore
+from ..kernelalg import CrossKernel, Kernel, Zero
+from ..linalg import Chol
+from .. import uncert
+
+__all__ = ['GP', 'DefaultProcess']
+
+
+class _DefaultProcess:
+    def __repr__(self):
+        return 'DefaultProcess'
+
+
+DefaultProcess = _DefaultProcess()
+
+# -- process kinds -----------------------------------------------------------
+
+_ProcKernel = collections.namedtuple('_ProcKernel', ['kernel'])
+_ProcLinTransf = collections.namedtuple('_ProcLinTransf', ['transf', 'keys'])
+_ProcKernelTransf = collections.namedtuple(
+    '_ProcKernelTransf', ['proc', 'transfname', 'arg']
+)
+
+# -- element kinds -----------------------------------------------------------
+
+_Points = collections.namedtuple('_Points', ['x', 'proc', 'deriv', 'shape'])
+_LinTransfEl = collections.namedtuple(
+    '_LinTransfEl', ['transf', 'keys', 'shape']
+)
+_CovEl = collections.namedtuple('_CovEl', ['shape'])
+
+
+def _size(shape):
+    return math.prod(shape) if shape else 1
+
+
+class GP:
+    """A Gaussian process model: a dictionary of processes and a
+    dictionary of finite elements built from them.
+
+    Parameters
+    ----------
+    covfun : Kernel, optional
+        Kernel of the default process.
+    solver : str
+        Decomposition used for posteriors ('chol').
+    checkpos, checksym, checkfinite, checklin : bool
+        Eager sanity checks (run at trace time, compile away).
+    posepsfac : float
+        Tolerance factor for the positivity check.
+    halfmatrix : bool
+        Reserved (upper-triangle point evaluation optimization).
+    """
+
+    def __init__(self, covfun=None, *, solver='chol', checkpos=True,
+                 checksym=True, checkfinite=True, checklin=True,
+                 posepsfac=1, halfmatrix=False, **kw):
+        self._procs = {}
+        self._elements = {}
+        self._kernel_cache = {}
+        self._covblock_cache = {}
+        self._decomp_cache = {}
+        self._solverkw = dict(kw)
+        self._solver = solver
+        self._checks = dict(
+            pos=checkpos, sym=checksym, finite=checkfinite, lin=checklin,
+            posepsfac=posepsfac,
+        )
+        if covfun is not None:
+            if not isinstance(covfun, Kernel):
+                raise TypeError('covfun must be a (symmetric) Kernel')
+            self._procs[DefaultProcess] = _ProcKernel(covfun)
+
+    # -- builder infrastructure ----------------------------------------------
+
+    def _clone(self):
+        new = object.__new__(GP)
+        new._procs = dict(self._procs)
+        new._elements = dict(self._elements)
+        # caches are shared: keys are never redefined, so entries stay valid
+        new._kernel_cache = self._kernel_cache
+        new._covblock_cache = self._covblock_cache
+        new._decomp_cache = self._decomp_cache
+        new._solverkw = self._solverkw
+        new._solver = self._solver
+        new._checks = self._checks
+        return new
+
+    def _checkprockey(self, key, new=True):
+        if new and key in self._procs:
+            raise KeyError(f'process key {key!r} already defined')
+        if not new and key not in self._procs:
+            raise KeyError(f'process {key!r} not defined')
+
+    def _checkelkey(self, key, new=True):
+        if key is None:
+            raise KeyError('key cannot be None')
+        if new and key in self._elements:
+            raise KeyError(f'element key {key!r} already used')
+        if not new and key not in self._elements:
+            raise KeyError(f'element {key!r} not defined')
+
+    # -- process definition ----------------------------------------------------
+
+    def defproc(self, key, kernel=None, *, deriv=0):
+        """Define a new independent process with the given kernel
+        (reference ``_processes.py:92``)."""
+        self._checkprockey(key)
+        if kernel is None:
+            kernel = self._procs[DefaultProcess].kernel
+        if not isinstance(kernel, Kernel):
+            raise TypeError('kernel must be a symmetric Kernel')
+        new = self._clone()
+        from .._deriv import Deriv
+        deriv = Deriv(deriv)
+        if deriv:
+            # derivative process built on top of an anonymous plain process
+            base = object()
+            new._procs[base] = _ProcKernel(kernel)
+            new._procs[key] = _ProcKernelTransf(base, 'diff', deriv)
+        else:
+            new._procs[key] = _ProcKernel(kernel)
+        return new
+
+    def deftransf(self, key, ops, *, deriv=0):
+        """Define a process as a linear combination of other processes:
+        f_key = Σ_i c_i f_i, ops = {prockey: coefficient}
+        (reference ``_processes.py:122``)."""
+        self._checkprockey(key)
+        keys = list(ops)
+        coefs = [ops[k] for k in keys]
+        for k in keys:
+            self._checkprockey(k, new=False)
+        for c in coefs:
+            if not (callable(c) or _iskernel_scalar(c)):
+                raise TypeError(f'invalid coefficient {c!r}')
+
+        def transf(*fns):
+            def combo(x):
+                out = None
+                for c, f in zip(coefs, fns):
+                    cx = c(x) if callable(c) else c
+                    term = cx * f(x)
+                    out = term if out is None else out + term
+                return out
+            return combo
+
+        new = self.deflintransf(key, transf, keys, deriv=deriv)
+        return new
+
+    def deflintransf(self, key, transf, procs, *, deriv=0, checklin=False):
+        """Define a process as a generic linear map of other processes:
+        f_key = T(f_1, ..., f_k) (reference ``_processes.py:178``)."""
+        self._checkprockey(key)
+        for k in procs:
+            self._checkprockey(k, new=False)
+        new = self._clone()
+        from .._deriv import Deriv
+        deriv = Deriv(deriv)
+        new._procs[key] = _ProcLinTransf(transf, list(procs))
+        if deriv:
+            inner = object()
+            new._procs[inner] = new._procs.pop(key)
+            new._procs[key] = _ProcKernelTransf(inner, 'diff', deriv)
+        return new
+
+    def deflinop(self, key, transfname, arg, proc):
+        """Define a process by applying a kernel linop to another process
+        (reference ``_processes.py:239``)."""
+        self._checkprockey(key)
+        self._checkprockey(proc, new=False)
+        new = self._clone()
+        new._procs[key] = _ProcKernelTransf(proc, transfname, arg)
+        return new
+
+    def defderiv(self, key, deriv, proc):
+        """f_key = d^deriv f_proc (reference ``_processes.py:264``)."""
+        from .._deriv import Deriv
+        return self.deflinop(key, 'diff', Deriv(deriv), proc)
+
+    def defxtransf(self, key, transf, proc):
+        """f_key(x) = f_proc(transf(x)) (reference ``_processes.py:290``)."""
+        if not callable(transf):
+            raise TypeError('transf must be callable')
+        return self.deflinop(key, 'xtransf', transf, proc)
+
+    def defrescale(self, key, fun, proc):
+        """f_key(x) = fun(x) f_proc(x) (reference ``_processes.py:317``)."""
+        if not callable(fun):
+            raise TypeError('fun must be callable')
+        return self.deflinop(key, 'rescale', fun, proc)
+
+    # -- cross-kernel derivation -----------------------------------------------
+
+    def _crosskernel(self, pa, pb):
+        key = (pa, pb)
+        cache = self._kernel_cache
+        if key in cache:
+            return cache[key]
+        swapped = (pb, pa)
+        if swapped in cache:
+            k = cache[swapped]._swap()
+            cache[key] = k
+            return k
+        a = self._procs[pa]
+        b = self._procs[pb]
+        if isinstance(a, _ProcKernel) and isinstance(b, _ProcKernel):
+            k = a.kernel if pa is pb or pa == pb else Zero()
+        elif isinstance(a, _ProcKernelTransf):
+            base = self._crosskernel(a.proc, pb)
+            k = base if isinstance(base, Zero) else base.linop(
+                a.transfname, a.arg, None
+            )
+        elif isinstance(b, _ProcKernelTransf):
+            base = self._crosskernel(pa, b.proc)
+            k = base if isinstance(base, Zero) else base.linop(
+                b.transfname, None, b.arg
+            )
+        elif isinstance(a, _ProcLinTransf):
+            kernels = [self._crosskernel(p, pb) for p in a.keys]
+            if all(isinstance(k0, Zero) for k0 in kernels):
+                k = Zero()
+            else:
+                k = CrossKernel._nary(
+                    a.transf, kernels, CrossKernel._side.LEFT
+                )
+        elif isinstance(b, _ProcLinTransf):
+            kernels = [self._crosskernel(pa, p) for p in b.keys]
+            if all(isinstance(k0, Zero) for k0 in kernels):
+                k = Zero()
+            else:
+                k = CrossKernel._nary(
+                    b.transf, kernels, CrossKernel._side.RIGHT
+                )
+        else:  # pragma: no cover
+            raise TypeError(f'unknown process kinds {a!r}, {b!r}')
+        cache[key] = k
+        return k
+
+    # -- element definition ------------------------------------------------------
+
+    def addx(self, x, key=None, *, deriv=0, proc=DefaultProcess):
+        """Add points where the process is evaluated
+        (reference ``_elements.py:159``)."""
+        if not isinstance(x, dict):
+            if key is None:
+                raise ValueError('key required when x is not a dict')
+            x = {key: x}
+        elif key is not None:
+            raise ValueError('key not allowed when x is a dict')
+        self._checkprockey(proc, new=False)
+        from .._deriv import Deriv
+        deriv = Deriv(deriv)
+        new = self._clone()
+        for k, xk in x.items():
+            new._checkelkey(k)
+            xk = _array.asarray(xk)
+            if not isinstance(xk, _array.StructuredArray):
+                xk = jnp.asarray(xk)
+                if not deriv.implicit:
+                    raise ValueError(
+                        'named derivative with non-structured x'
+                    )
+            else:
+                for dim in deriv:
+                    if dim is not None and dim not in xk.fields:
+                        raise ValueError(
+                            f'derivative along missing field {dim!r}'
+                        )
+            if self._checks['finite'] and not isinstance(
+                    xk, _array.StructuredArray):
+                def check(xk=xk):
+                    assert jnp.all(jnp.isfinite(xk)), 'non-finite x'
+                _jaxutil.skipifabstract(check)
+            new._elements[k] = _Points(xk, proc, deriv, tuple(xk.shape))
+        return new
+
+    def addlintransf(self, transf, keys, key, *, checklin=None):
+        """Add a finite linear transformation of other elements
+        (reference ``_elements.py:349``)."""
+        self._checkelkey(key)
+        for k in keys:
+            self._checkelkey(k, new=False)
+        shapes = [self._elements[k].shape for k in keys]
+        dtype = _config.default_float()
+        specs = [jax.ShapeDtypeStruct(s, dtype) for s in shapes]
+        out = jax.eval_shape(transf, *specs)
+        if checklin is None:
+            checklin = self._checks['lin']
+        if checklin:
+            self._checklinear(transf, shapes)
+        new = self._clone()
+        new._elements[key] = _LinTransfEl(transf, list(keys), tuple(out.shape))
+        return new
+
+    def _checklinear(self, transf, shapes):
+        """Verify transf is linear via a jvp identity probe
+        (reference ``_base.py:54-84``)."""
+        dtype = _config.default_float()
+        rng = numpy.random.default_rng(0)
+        xs = [jnp.asarray(rng.standard_normal(s), dtype) for s in shapes]
+        zeros = [jnp.zeros(s, dtype) for s in shapes]
+        with jax.ensure_compile_time_eval():
+            y0 = transf(*zeros)
+            direct = transf(*xs)
+            _, tangent = jax.jvp(transf, zeros, xs)
+            if not (
+                jnp.allclose(y0, 0, atol=1e-10)
+                and jnp.allclose(direct, tangent, rtol=1e-6, atol=1e-10)
+            ):
+                raise RuntimeError(
+                    'the transformation is not linear; pass checklin=False '
+                    'to skip this check'
+                )
+
+    def addtransf(self, tensors, key, *, axes=1):
+        """Add a tensor-contraction linear transformation:
+        out = Σ_k tensordot(tensors[k], element_k, axes)
+        (reference ``_elements.py:248``)."""
+        self._checkelkey(key)
+        keys = list(tensors)
+        tens = []
+        for k in keys:
+            self._checkelkey(k, new=False)
+            t = jnp.asarray(tensors[k])
+            tens.append(t)
+
+        def transf(*vals):
+            out = None
+            for t, v in zip(tens, vals):
+                if t.ndim == 0:
+                    term = t * v
+                else:
+                    term = jnp.tensordot(t, v, axes=axes)
+                out = term if out is None else out + term
+            return out
+
+        return self.addlintransf(transf, keys, key, checklin=False)
+
+    def addcov(self, covblocks, key=None, *, decomps=None):
+        """Add finite variables with explicit covariance blocks
+        (reference ``_elements.py:409``)."""
+        if not isinstance(covblocks, dict):
+            if key is None:
+                raise ValueError('key required when covblocks is not a dict')
+            covblocks = {(key, key): covblocks}
+        elif key is not None:
+            raise ValueError('key not allowed when covblocks is a dict')
+
+        # collect keys and shapes from diagonal blocks
+        pairs = {}
+        elkeys = []
+        for (k1, k2), block in covblocks.items():
+            block = jnp.asarray(block)
+            pairs[k1, k2] = block
+            for k in (k1, k2):
+                if k not in elkeys:
+                    elkeys.append(k)
+        shapes = {}
+        for k in elkeys:
+            self._checkelkey(k)
+            diag = pairs.get((k, k))
+            if diag is None:
+                raise ValueError(f'missing diagonal block for key {k!r}')
+            if diag.ndim % 2:
+                raise ValueError(f'diagonal block {k!r} has odd ndim')
+            half = diag.ndim // 2
+            shapes[k] = diag.shape[:half]
+            if diag.shape[half:] != shapes[k]:
+                raise ValueError(f'diagonal block {k!r} not square')
+
+        if self._checks['sym']:
+            def check():
+                for (k1, k2), block in pairs.items():
+                    if k1 == k2:
+                        n = _size(shapes[k1])
+                        b = block.reshape(n, n)
+                        assert jnp.allclose(b, b.T), \
+                            f'non-symmetric diagonal block {k1!r}'
+                    elif (k2, k1) in pairs:
+                        n1, n2 = _size(shapes[k1]), _size(shapes[k2])
+                        b = block.reshape(n1, n2)
+                        bt = pairs[k2, k1].reshape(n2, n1)
+                        assert jnp.allclose(b, bt.T), \
+                            f'blocks ({k1!r},{k2!r}) not transposes'
+            _jaxutil.skipifabstract(check)
+        if self._checks['finite']:
+            def checkf():
+                for block in pairs.values():
+                    assert jnp.all(jnp.isfinite(block)), \
+                        'non-finite covariance block'
+            _jaxutil.skipifabstract(checkf)
+
+        new = self._clone()
+        for k in elkeys:
+            new._elements[k] = _CovEl(shapes[k])
+        for k1 in elkeys:
+            for k2 in elkeys:
+                n1, n2 = _size(shapes[k1]), _size(shapes[k2])
+                if (k1, k2) in pairs:
+                    blk = pairs[k1, k2].reshape(n1, n2)
+                elif (k2, k1) in pairs:
+                    blk = pairs[k2, k1].reshape(n2, n1).T
+                else:
+                    blk = jnp.zeros((n1, n2))
+                new._covblock_cache[k1, k2] = blk
+        return new
+
+    # -- covariance assembly -------------------------------------------------
+
+    def _covblock(self, a, b):
+        cache = self._covblock_cache
+        if (a, b) in cache:
+            return cache[a, b]
+        if (b, a) in cache:
+            blk = cache[b, a].T
+            cache[a, b] = blk
+            return blk
+        ea, eb = self._elements[a], self._elements[b]
+        if isinstance(ea, _Points) and isinstance(eb, _Points):
+            blk = self._block_points(ea, eb)
+        elif isinstance(ea, _LinTransfEl):
+            blk = self._block_lintransf_left(ea, b)
+        elif isinstance(eb, _LinTransfEl):
+            blk = self._block_lintransf_left(eb, a).T
+        elif isinstance(ea, _CovEl) or isinstance(eb, _CovEl):
+            # independent of everything not specified in addcov
+            blk = jnp.zeros((_size(ea.shape), _size(eb.shape)))
+        else:  # pragma: no cover
+            raise TypeError('unknown element kinds')
+        cache[a, b] = blk
+        return blk
+
+    def _block_points(self, ea, eb):
+        kernel = self._crosskernel(ea.proc, eb.proc)
+        if isinstance(kernel, Zero):
+            return jnp.zeros((_size(ea.shape), _size(eb.shape)))
+        if ea.deriv or eb.deriv:
+            kernel = kernel.linop('diff', ea.deriv, eb.deriv)
+        xa = ea.x.reshape(-1) if ea.x.ndim != 1 else ea.x
+        xb = eb.x.reshape(-1) if eb.x.ndim != 1 else eb.x
+        blk = kernel(xa[:, None], xb[None, :])
+        return blk
+
+    def _block_lintransf_left(self, ea, b):
+        eb = self._elements[b]
+        nb = _size(eb.shape)
+        cols = []
+        for k in ea.keys:
+            ek = self._elements[k]
+            blk = self._covblock(k, b)  # (size_k, nb)
+            cols.append(blk.reshape(ek.shape + (nb,)))
+        vm = jax.vmap(ea.transf, in_axes=(-1,) * len(cols), out_axes=-1)
+        out = vm(*cols)  # ea.shape + (nb,)
+        return out.reshape(_size(ea.shape), nb)
+
+    def _assemble(self, rowkeys, colkeys):
+        rows = []
+        for a in rowkeys:
+            row = [self._covblock(a, b) for b in colkeys]
+            rows.append(row)
+        return jnp.block(rows) if (len(rows) > 1 or len(rows[0]) > 1) \
+            else rows[0][0]
+
+    def _checkpos(self, K):
+        if not self._checks['pos']:
+            return
+        def check():
+            eigs = jnp.linalg.eigvalsh(K)
+            mx = jnp.max(jnp.abs(eigs))
+            eps = jnp.finfo(K.dtype).eps
+            bound = -len(K) * eps * mx * self._checks['posepsfac'] * 64
+            assert jnp.min(eigs) >= bound, \
+                f'covariance matrix not positive definite ' \
+                f'(min eig {jnp.min(eigs):.3g} < {bound:.3g})'
+        _jaxutil.skipifabstract(check)
+
+    # -- solvers ---------------------------------------------------------------
+
+    def _solver_for(self, inkeys, extracov=None):
+        cachekey = (tuple(inkeys), extracov is None)
+        if extracov is None and cachekey in self._decomp_cache:
+            return self._decomp_cache[cachekey]
+        Kxx = self._assemble(inkeys, inkeys)
+        if extracov is not None:
+            Kxx = Kxx + extracov
+        else:
+            self._checkpos(Kxx)
+        dec = self._make_decomp(Kxx)
+        if extracov is None:
+            self._decomp_cache[cachekey] = dec
+        return dec
+
+    def _make_decomp(self, K):
+        if self._solver != 'chol':
+            raise KeyError(f'unknown solver {self._solver!r}')
+        return Chol(K, **self._solverkw)
+
+    @classmethod
+    def decompose(cls, posdefmatrix, solver='chol', **kw):
+        """Decompose a PSD matrix with the GP solver machinery
+        (reference ``_compute.py:431``)."""
+        if solver != 'chol':
+            raise KeyError(f'unknown solver {solver!r}')
+        return Chol(jnp.asarray(posdefmatrix), **kw)
+
+    # -- data flattening ---------------------------------------------------------
+
+    def _flatgiven(self, given, givencov=None):
+        """Flatten a dict key->data into (inkeys, ymean, ycov, yuarr)."""
+        if not isinstance(given, dict):
+            raise TypeError('given must be a dict')
+        inkeys = list(given)
+        means = []
+        uarrs = []
+        any_u = False
+        for k in inkeys:
+            self._checkelkey(k, new=False)
+            v = given[k]
+            shape = self._elements[k].shape
+            if isinstance(v, uncert.UArray):
+                any_u = True
+                uarrs.append(v.reshape(-1))
+                means.append(v.mean.reshape(-1))
+            else:
+                v = jnp.asarray(v)
+                if tuple(v.shape) != shape:
+                    raise ValueError(
+                        f'data for key {k!r} has shape {tuple(v.shape)}, '
+                        f'element has shape {shape}'
+                    )
+                uarrs.append(None)
+                means.append(v.reshape(-1))
+        ymean = jnp.concatenate(means) if means else jnp.zeros(0)
+        if self._checks['finite']:
+            def check():
+                assert jnp.all(jnp.isfinite(ymean)), 'non-finite data'
+            _jaxutil.skipifabstract(check)
+
+        n = ymean.size
+        ycov = None
+        yu = None
+        if givencov is not None:
+            if isinstance(givencov, dict):
+                blocks = []
+                sizes = [m.size for m in means]
+                offs = numpy.cumsum([0] + sizes)
+                ycov = jnp.zeros((n, n))
+                for (k1, k2), blk in givencov.items():
+                    i, j = inkeys.index(k1), inkeys.index(k2)
+                    blk = jnp.asarray(blk).reshape(sizes[i], sizes[j])
+                    ycov = ycov.at[offs[i]:offs[i+1], offs[j]:offs[j+1]].set(blk)
+                    if k1 != k2:
+                        ycov = ycov.at[offs[j]:offs[j+1], offs[i]:offs[i+1]] \
+                            .set(blk.T)
+            else:
+                ycov = jnp.asarray(givencov).reshape(n, n)
+        elif any_u:
+            # assemble the UArray data into one joint vector
+            parts = [
+                u if u is not None else uncert.UArray(m)
+                for u, m in zip(uarrs, means)
+            ]
+            yu = uncert.uconcatenate(parts)
+            ycov = yu.cov()
+        return inkeys, ymean, ycov, yu
+
+    # -- prior ---------------------------------------------------------------
+
+    def prior(self, key=None, *, raw=False):
+        """Prior distribution of the elements (mean zero), correlated
+        across keys (reference ``_elements.py:758``)."""
+        if key is None:
+            keys = list(self._elements)
+        elif isinstance(key, (list, tuple)):
+            keys = list(key)
+        else:
+            keys = [key]
+        for k in keys:
+            self._checkelkey(k, new=False)
+        K = self._assemble(keys, keys)
+        self._checkpos(K)
+        single = key is not None and not isinstance(key, (list, tuple))
+        if raw:
+            return K if single else self._unflatten_cov(K, keys)
+        n = K.shape[0]
+        u = uncert.from_cov(jnp.zeros(n), K)
+        out = self._split_uarray(u, keys)
+        return out[key] if single else out
+
+    def _split_uarray(self, u, keys):
+        out = {}
+        i = 0
+        for k in keys:
+            shape = self._elements[k].shape
+            m = _size(shape)
+            out[k] = u[i:i + m].reshape(shape)
+            i += m
+        return out
+
+    def _unflatten_cov(self, K, keys):
+        out = {}
+        offs = [0]
+        for k in keys:
+            offs.append(offs[-1] + _size(self._elements[k].shape))
+        for i, k1 in enumerate(keys):
+            for j, k2 in enumerate(keys):
+                blk = K[offs[i]:offs[i+1], offs[j]:offs[j+1]]
+                out[k1, k2] = blk.reshape(
+                    self._elements[k1].shape + self._elements[k2].shape
+                )
+        return out
+
+    # -- posterior -----------------------------------------------------------
+
+    def pred(self, given, key=None, givencov=None, *, fromdata=None,
+             raw=False, keepcorr=None):
+        """Posterior distribution on elements ``key`` given data
+        (reference ``_compute.py:138``).
+
+        ``fromdata=True``: data = process + independent noise whose
+        covariance is ``givencov`` (or the data UArray covariance).
+        ``fromdata=False`` ('fromfit'): data is an estimate of the process
+        itself with uncertainty ``givencov``.
+        """
+        if fromdata is None:
+            raise ValueError('specify fromdata=True/False, or use '
+                             'predfromdata/predfromfit')
+        single = key is not None and not isinstance(key, (list, tuple))
+        if key is None:
+            outkeys = [k for k in self._elements if k not in given]
+        elif single:
+            outkeys = [key]
+        else:
+            outkeys = list(key)
+        for k in outkeys:
+            self._checkelkey(k, new=False)
+
+        inkeys, ymean, ycov, yu = self._flatgiven(given, givencov)
+        if keepcorr is None:
+            keepcorr = yu is not None and not raw
+        if keepcorr and yu is None:
+            yu = uncert.UArray(ymean)
+
+        solver = self._solver_for(
+            inkeys, extracov=ycov if fromdata else None
+        )
+        Kxxs = self._assemble(inkeys, outkeys)
+        Kxsxs = self._assemble(outkeys, outkeys)
+
+        A = solver.ginv_linear(Kxxs)          # (n, ns)
+        mean = A.T @ ymean
+        cov_post = Kxsxs - solver.ginv_quad(Kxxs)
+        if not fromdata and ycov is not None:
+            extra = A.T @ ycov @ A
+        else:
+            extra = None
+
+        if raw:
+            cov = cov_post if extra is None else cov_post + extra
+            if single:
+                return mean.reshape(self._elements[outkeys[0]].shape), cov
+            means = self._split_plain(mean, outkeys)
+            covs = self._unflatten_cov(cov, outkeys)
+            return means, covs
+
+        if keepcorr:
+            # exact joint representation (reference ``_compute.py:271-284``):
+            # posterior = prior_out + A'(data - prior_in), with prior_in/out
+            # drawn jointly from the GP prior so posterior marginals equal
+            # the standard formula and cross-covariance with the data is
+            # preserved
+            allkeys = list(inkeys)
+            for k in outkeys:
+                if k not in allkeys:
+                    allkeys.append(k)
+            Kall = self._assemble(allkeys, allkeys)
+            up = uncert.from_cov(jnp.zeros(Kall.shape[0]), Kall)
+            parts = self._split_uarray(up, allkeys)
+            yp = uncert.uconcatenate(
+                [parts[k].reshape(-1) for k in inkeys]
+            )
+            ysp = uncert.uconcatenate(
+                [parts[k].reshape(-1) for k in outkeys]
+            )
+            u = ysp + (A.T @ (yu - yp))
+        else:
+            cov = cov_post if extra is None else cov_post + extra
+            u = uncert.from_cov(mean, cov)
+        out = self._split_uarray(u, outkeys)
+        if single:
+            return out[outkeys[0]]
+        return out
+
+    def _split_plain(self, v, keys):
+        out = {}
+        i = 0
+        for k in keys:
+            shape = self._elements[k].shape
+            m = _size(shape)
+            out[k] = v[i:i + m].reshape(shape)
+            i += m
+        return out
+
+    def predfromdata(self, given, key=None, givencov=None, **kw):
+        """Posterior given noisy data (reference ``_compute.py:330``)."""
+        return self.pred(given, key, givencov, fromdata=True, **kw)
+
+    def predfromfit(self, given, key=None, givencov=None, **kw):
+        """Posterior given a fit result (reference ``_compute.py:330``)."""
+        return self.pred(given, key, givencov, fromdata=False, **kw)
+
+    # -- likelihood -----------------------------------------------------------
+
+    def marginal_likelihood(self, given, givencov=None):
+        """Log marginal likelihood of the data under the prior
+        (reference ``_compute.py:383``)."""
+        inkeys, ymean, ycov, _ = self._flatgiven(given, givencov)
+        solver = self._solver_for(inkeys, extracov=ycov)
+        return -solver.minus_log_normal_density(ymean)
+
+    def _prior_decomp(self, given, givencov=None):
+        """(decomposition of the data covariance, residuals); used by the
+        fit driver (reference ``_compute.py:336``)."""
+        inkeys, ymean, ycov, _ = self._flatgiven(given, givencov)
+        solver = self._solver_for(inkeys, extracov=ycov)
+        return solver, ymean
+
+
+def _iskernel_scalar(c):
+    from ..kernelalg import _util
+    return _util.is_numerical_scalar(c)

@@ -17,3 +17,14 @@ from ._randomwalk import (
 from ._celerite import Celerite, Harmonic
 from ._wendland import Wendland, Circular
 from ._spectral import Cos, Pink, Color, Sinc
+
+__all__ = [
+    'Constant', 'White', 'ExpQuad', 'Linear', 'GammaExp', 'NNKernel',
+    'Gibbs', 'Periodic', 'Categorical', 'Rescaling', 'Expon', 'BagOfWords',
+    'HoleEffect', 'Cauchy', 'CausalExpQuad', 'Decaying', 'Log', 'Taylor',
+    'Maternp',
+    'Wiener', 'FracBrownian', 'WienerIntegral', 'OrnsteinUhlenbeck',
+    'BrownianBridge', 'StationaryFracBrownian',
+    'Celerite', 'Harmonic', 'Wendland', 'Circular',
+    'Cos', 'Pink', 'Color', 'Sinc',
+]

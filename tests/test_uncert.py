@@ -1,0 +1,96 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsqfitgp_tpu import uncert
+
+
+def test_from_cov_roundtrip(rng):
+    n = 6
+    A = rng.standard_normal((n, n))
+    covmat = A @ A.T
+    m = rng.standard_normal(n)
+    u = uncert.from_cov(m, covmat)
+    np.testing.assert_allclose(np.asarray(u.mean), m)
+    np.testing.assert_allclose(np.asarray(u.cov()), covmat, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(u.sdev), np.sqrt(np.diag(covmat)), rtol=1e-8
+    )
+
+
+def test_linear_ops(rng):
+    n = 5
+    A = rng.standard_normal((n, n))
+    covmat = A @ A.T
+    u = uncert.from_cov(rng.standard_normal(n), covmat)
+    v = 2.0 * u + 1.0
+    np.testing.assert_allclose(np.asarray(v.cov()), 4 * covmat, rtol=1e-8)
+    w = u - u
+    np.testing.assert_allclose(np.asarray(w.sdev), 0, atol=1e-10)
+    M = rng.standard_normal((3, n))
+    y = M @ u
+    np.testing.assert_allclose(
+        np.asarray(y.cov()), M @ covmat @ M.T, rtol=1e-8, atol=1e-10
+    )
+
+
+def test_correlation_across_arrays(rng):
+    n = 4
+    A = rng.standard_normal((2 * n, 2 * n))
+    covmat = A @ A.T
+    u = uncert.from_cov(rng.standard_normal(2 * n), covmat)
+    a, b = u[:n], u[n:]
+    np.testing.assert_allclose(
+        np.asarray(uncert.evalcov(a, b)), covmat[:n, n:], rtol=1e-8, atol=1e-10
+    )
+
+
+def test_independent_blocks(rng):
+    a = uncert.from_cov(np.zeros(3), np.eye(3))
+    b = uncert.from_cov(np.zeros(3), np.eye(3))
+    np.testing.assert_allclose(np.asarray(uncert.evalcov(a, b)), 0, atol=1e-12)
+    s = a + b
+    np.testing.assert_allclose(np.asarray(s.cov()), 2 * np.eye(3), rtol=1e-8)
+
+
+def test_nonlinear_delta(rng):
+    u = uncert.from_cov(np.array([2.0]), np.array([[0.01]]))
+    v = u * u
+    np.testing.assert_allclose(float(v.mean[0]), 4.0)
+    # var(x²) ≈ (2x)² var(x)
+    np.testing.assert_allclose(float(v.var[0]), 16 * 0.01, rtol=1e-8)
+    w = uncert.ufunc(jnp.exp, u)
+    np.testing.assert_allclose(float(w.sdev[0]), np.exp(2) * 0.1, rtol=1e-8)
+
+
+def test_sample_stats(rng, key):
+    n = 3
+    A = rng.standard_normal((n, n))
+    covmat = A @ A.T + np.eye(n)
+    m = rng.standard_normal(n)
+    u = uncert.from_cov(m, covmat)
+    s = np.asarray(uncert.sample(key, u, 40000))
+    np.testing.assert_allclose(s.mean(0), m, atol=0.1)
+    np.testing.assert_allclose(np.cov(s.T), covmat, atol=0.15, rtol=0.1)
+
+
+def test_concatenate(rng):
+    a = uncert.from_cov(np.zeros(2), np.eye(2))
+    b = uncert.from_cov(np.ones(3), 2 * np.eye(3))
+    c = uncert.uconcatenate([a, b])
+    assert c.shape == (5,)
+    want = np.zeros((5, 5))
+    want[:2, :2] = np.eye(2)
+    want[2:, 2:] = 2 * np.eye(3)
+    np.testing.assert_allclose(np.asarray(c.cov()), want, atol=1e-10)
+
+
+def test_matmul_forms(rng):
+    u = uncert.from_cov(rng.standard_normal(4), np.eye(4))
+    M = rng.standard_normal((4, 2))
+    v = rng.standard_normal(4)
+    np.testing.assert_allclose(
+        np.asarray((u @ M).cov()), M.T @ M, rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(float((u @ v).var), v @ v, rtol=1e-8)
+    np.testing.assert_allclose(float((v @ u).var), v @ v, rtol=1e-8)
