@@ -43,6 +43,9 @@ from .kernels import *  # noqa: F401,F403
 from .kernels import __all__ as _zoo_all
 
 from .gp import GP, DefaultProcess
+from .fit import empbayes_fit
+from .raniter import raniter, sample
+from .uncert import BufferDict, add_distribution
 
 __all__ = [
     'StructuredArray', 'asarray', 'Deriv', 'GP', 'DefaultProcess',

@@ -1,0 +1,355 @@
+"""MAP hyperparameter fitting.
+
+TPU-native counterpart of reference ``src/lsqfitgp/_fit.py:145``
+(``empbayes_fit``).  Same workflow:
+
+1. flatten + *whiten* the (possibly correlated, possibly transformed)
+   hyperprior, so the optimizer works on iid-standard-normal coordinates
+   (reference ``_fit.py:444-489``);
+2. build the negative log joint: GP marginal likelihood (via the fused
+   decomposition density) + standard-normal prior on the whitened
+   parameters (+ optional additional loss);
+3. minimize; estimate the posterior covariance from the Fisher
+   information or the minimizer's Hessian estimate
+   (reference ``_fit.py:756-853``);
+4. return hyperparameters as correlated :class:`uncert.UArray`.
+
+Re-designs for TPU:
+
+- the objective and its gradient jit-compile to a single XLA program;
+  gradients flow through ``lax.linalg.cholesky``'s native XLA
+  differentiation rule instead of hand-written VJPs;
+- the Fisher matrix uses batched triangular solves
+  (``linalg.Chol.fisher``) with ``jax.jacfwd`` of (K(p), r(p));
+- two optimizer drivers: ``scipy`` (host loop, parity with the
+  reference) and ``jax`` (on-device BFGS via
+  ``jax.scipy.optimize.minimize`` — the whole fit is one XLA program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+import warnings
+
+import jax
+import numpy
+from jax import numpy as jnp
+
+from . import _config
+from .uncert import BufferDict, UArray, from_cov, uconcatenate, evalcov
+from . import uncert
+from .linalg import Chol
+
+__all__ = ['empbayes_fit']
+
+
+class Logger:
+    """Verbosity-leveled logger with indentation contexts
+    (reference ``_fit.py:79-143``)."""
+
+    def __init__(self, verbosity=0):
+        self.verbosity = verbosity
+        self._indent = 0
+        self.records = []
+
+    def log(self, message, level=1):
+        self.records.append((level, message))
+        if self.verbosity >= level:
+            print('    ' * self._indent + message)
+
+    class _Indent:
+        def __init__(self, logger):
+            self.logger = logger
+
+        def __enter__(self):
+            self.logger._indent += 1
+
+        def __exit__(self, *exc):
+            self.logger._indent -= 1
+
+    def indent(self):
+        return self._Indent(self)
+
+
+@dataclasses.dataclass
+class _Timed:
+    """Wall-clock accounting per phase (the reference threads a token
+    through pure_callback inside jit, ``_fit.py:41-77``; on TPU we time
+    host-side around block_until_ready boundaries instead)."""
+    calls: int = 0
+    seconds: float = 0.0
+
+    def time(self, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        out = jax.block_until_ready(out)
+        self.seconds += time.perf_counter() - t0
+        self.calls += 1
+        return out
+
+
+def _parse_hyperprior(hyperprior):
+    """Accepts: BufferDict of UArray, dict key -> UArray | (mean, sdev) |
+    scalar mean (sdev 1).  Returns (BufferDict layout, mean vector,
+    whitening Chol of the cov)."""
+    if not isinstance(hyperprior, BufferDict):
+        conv = {}
+        for k, v in hyperprior.items():
+            if isinstance(v, UArray):
+                conv[k] = v
+            elif isinstance(v, tuple) and len(v) == 2:
+                conv[k] = uncert.normal(*v)
+            else:
+                conv[k] = uncert.normal(v, 1.0)
+        hyperprior = BufferDict(conv)
+    buf = hyperprior.buf
+    if not isinstance(buf, UArray):
+        buf = uncert.normal(buf, jnp.ones(buf.shape))
+        hyperprior = hyperprior.replace_buf(buf)
+    mean = buf.mean
+    cov = buf.cov()
+    dec = Chol(cov)
+    return hyperprior, mean, dec
+
+
+def _parse_data(data):
+    """data: dict given | (given, givencov) | callable(hp) -> either."""
+    if callable(data):
+        return data, None, True
+    if isinstance(data, tuple):
+        given, givencov = data
+        return given, givencov, False
+    return data, None, False
+
+
+class empbayes_fit:
+    """Maximum-a-posteriori fit of GP hyperparameters.
+
+    Parameters
+    ----------
+    hyperprior : dict or BufferDict
+        Prior for the hyperparameters: values may be `uncert.UArray`,
+        ``(mean, sdev)`` tuples, or bare means (sdev 1).  Keys may use
+        transformation names, e.g. ``'log(sigma)'``.
+    gpfactory : callable
+        ``gpfactory(hp, **gpfactorykw) -> GP`` where hp is a BufferDict.
+    data : dict, (dict, cov), or callable
+        Observed data per element key; optionally with covariance, or a
+        callable of the hyperparameters.
+    method : {'gradient', 'nograd', 'fisher'}
+        Minimizer: BFGS with gradient (default), Nelder-Mead, or
+        trust-region with Fisher hessian.
+    optimizer : {'scipy', 'jax'}
+        Host scipy loop (parity mode) or on-device
+        ``jax.scipy.optimize.minimize`` BFGS (whole fit = one XLA
+        program; only with method='gradient').
+    initial : 'priormean' or array
+        Starting point (whitened space starts at 0 for 'priormean').
+    covariance : {'auto', 'fisher', 'minhess', 'none'}
+        Posterior covariance estimator.
+    fix : dict, optional
+        Map key -> bool (or array of bool) freezing hyperparameters at
+        their initial values.
+    additional_loss : callable, optional
+        Extra loss term ``loss(hp) -> scalar`` added to the objective.
+    jit : bool
+        jit-compile the objective (default True).
+    raises : bool
+        Raise on minimizer failure (else warn and keep last iterate).
+    verbosity : int
+        0 silent .. 5 chatty.
+
+    Attributes
+    ----------
+    p : BufferDict of UArray
+        Hyperparameter posterior (MAP with Laplace covariance).
+    pmean, pcov : flat posterior mean / covariance (stored space).
+    prior : the parsed hyperprior BufferDict.
+    minresult : scipy OptimizeResult (scipy optimizer only).
+    minargs : dict of arguments passed to the minimizer.
+    """
+
+    def __init__(self, hyperprior, gpfactory, data, *,
+                 method='gradient', optimizer='scipy', initial='priormean',
+                 covariance='auto', fix=None, additional_loss=None,
+                 jit=True, raises=True, verbosity=0, minkw={},
+                 gpfactorykw={}, forward=False):
+        log = Logger(verbosity)
+        self.log = log
+        prior, pmean_prior, pdec = _parse_hyperprior(hyperprior)
+        self.prior = prior
+        given, givencov, data_callable = _parse_data(data)
+
+        nparam = pmean_prior.size
+
+        # fixed-parameter mask (whitened coords share the layout only when
+        # the prior is diagonal; fix in stored space, translate via mask)
+        fixmask = numpy.zeros(nparam, bool)
+        if fix is not None:
+            for k, v in fix.items():
+                sl, shape = prior._slices[k]
+                fixmask[sl] = numpy.broadcast_to(v, shape).reshape(-1)
+        fixmask = jnp.asarray(fixmask)
+        self.fix = fixmask
+
+        def unwhiten(w):
+            # p = mean + L w ; frozen coordinates stay at the prior mean
+            w = jnp.where(fixmask, 0.0, w)
+            return pmean_prior + pdec.correlate(w)
+
+        def make_hp(w):
+            return prior.replace_buf(unwhiten(w))
+
+        timer = {'gpbuild': _Timed(), 'fun': _Timed()}
+        self._timer = timer
+
+        def nll(w):
+            hp = make_hp(w)
+            if data_callable:
+                d = given(hp)
+                g, gcov = (d if isinstance(d, tuple) else (d, None))
+            else:
+                g, gcov = given, givencov
+            gp = gpfactory(hp, **gpfactorykw)
+            dec, r = gp._prior_decomp(g, gcov)
+            out = dec.minus_log_normal_density(r)
+            wfree = jnp.where(fixmask, 0.0, w)
+            out = out + 0.5 * jnp.dot(wfree, wfree)
+            if additional_loss is not None:
+                out = out + additional_loss(hp)
+            return out
+
+        self._nll = nll
+        value_and_grad = jax.value_and_grad(nll)
+        if jit:
+            nll_c = jax.jit(nll)
+            value_and_grad = jax.jit(value_and_grad)
+        else:
+            nll_c = nll
+
+        w0 = jnp.zeros(nparam)
+        if not (isinstance(initial, str) and initial == 'priormean'):
+            p0 = jnp.asarray(initial)
+            w0 = pdec.pinv_correlate(p0 - pmean_prior)
+
+        log.log(f'empbayes_fit: {nparam} hyperparameters, '
+                f'method={method!r}, optimizer={optimizer!r}', 1)
+
+        t0 = time.perf_counter()
+        if optimizer == 'jax':
+            if method != 'gradient':
+                raise ValueError("optimizer='jax' requires method='gradient'")
+            from jax.scipy.optimize import minimize as jax_minimize
+            res = jax_minimize(nll_c, w0, method='BFGS', tol=1e-9)
+            wmin = res.x
+            success = bool(res.success)
+            self.minresult = res
+            hess_inv = None
+            nit = int(res.nit)
+        else:
+            import scipy.optimize
+            kw = dict(minkw)
+            if method == 'nograd':
+                f = lambda w: float(nll_c(jnp.asarray(w)))
+                res = scipy.optimize.minimize(
+                    f, numpy.asarray(w0), method='Nelder-Mead', **kw
+                )
+            elif method == 'gradient':
+                def f(w):
+                    v, g = value_and_grad(jnp.asarray(w))
+                    return float(v), numpy.asarray(g, float)
+                res = scipy.optimize.minimize(
+                    f, numpy.asarray(w0), jac=True, method='BFGS', **kw
+                )
+            elif method == 'fisher':
+                def f(w):
+                    v, g = value_and_grad(jnp.asarray(w))
+                    return float(v), numpy.asarray(g, float)
+                fisher_w = self._make_fisher(nll, fixmask)
+                res = scipy.optimize.minimize(
+                    f, numpy.asarray(w0), jac=True, method='trust-ncg',
+                    hess=lambda w: numpy.asarray(fisher_w(jnp.asarray(w))),
+                    **kw,
+                )
+            else:
+                raise KeyError(f'unknown method {method!r}')
+            wmin = jnp.asarray(res.x)
+            success = bool(res.success)
+            self.minresult = res
+            hess_inv = getattr(res, 'hess_inv', None)
+            if hess_inv is not None and hasattr(hess_inv, 'todense'):
+                hess_inv = hess_inv.todense()  # L-BFGS LinearOperator
+            nit = int(res.nit)
+        self.elapsed = time.perf_counter() - t0
+        log.log(f'minimization done in {self.elapsed:.2f}s, {nit} iters, '
+                f'success={success}', 1)
+
+        if not success:
+            msg = f'minimization failed: {getattr(res, "message", "?")}'
+            if raises:
+                raise RuntimeError(msg)
+            warnings.warn(msg)
+
+        # posterior covariance in whitened space
+        if covariance == 'auto':
+            covariance = 'fisher' if method == 'fisher' or hess_inv is None \
+                else 'minhess'
+        if covariance == 'fisher':
+            fisher_w = self._make_fisher(nll, fixmask)
+            F = fisher_w(wmin)
+            cov_w = Chol(F).ginv()
+        elif covariance == 'minhess':
+            if hess_inv is None:
+                raise ValueError('minimizer provides no hessian estimate')
+            cov_w = jnp.asarray(hess_inv)
+        elif covariance == 'none':
+            cov_w = jnp.zeros((nparam, nparam))
+        else:
+            raise KeyError(f'unknown covariance {covariance!r}')
+
+        # frozen coordinates carry no posterior uncertainty
+        freeze2d = fixmask[:, None] | fixmask[None, :]
+        cov_w = jnp.where(freeze2d, 0.0, cov_w)
+
+        # transform back to stored-parameter space: p = mean + L w
+        L = pdec.correlate(jnp.eye(nparam))
+        pmean = pmean_prior + pdec.correlate(
+            jnp.where(fixmask, 0.0, wmin)
+        )
+        pcov = L @ cov_w @ L.T
+        self.pmean = pmean
+        self.pcov = pcov
+        u = from_cov(pmean, pcov)
+        self.p = prior.replace_buf(u)
+        self.w = wmin
+        self.minargs = dict(method=method, optimizer=optimizer, minkw=minkw)
+        self.gpfactory = gpfactory
+        self.gpfactorykw = gpfactorykw
+        # the GP at the MAP point, for downstream predictions
+        hp_map = prior.replace_buf(pmean)
+        self.pmap = hp_map
+        if data_callable:
+            d = given(hp_map)
+            self.data = d if isinstance(d, tuple) else (d, None)
+        else:
+            self.data = (given, givencov)
+
+    def _make_fisher(self, nll, fixmask):
+        """Fisher matrix ≈ Hessian via forward-over-reverse AD of the
+        objective (exact for the Gaussian part at the optimum)."""
+        def fisher(w):
+            H = jax.jacfwd(jax.grad(nll))(w)
+            # freeze fixed coordinates: unit diagonal so the inverse is
+            # well defined and those coordinates get zero variance from
+            # the prior row/col structure
+            n = H.shape[0]
+            eye = jnp.eye(n, dtype=H.dtype)
+            mask = fixmask[:, None] | fixmask[None, :]
+            return jnp.where(mask, eye, H)
+        return fisher
+
+    def gp(self):
+        """The GP built at the MAP hyperparameters."""
+        return self.gpfactory(self.pmap, **self.gpfactorykw)

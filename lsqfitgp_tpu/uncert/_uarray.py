@@ -280,6 +280,18 @@ def from_jacobian(mean, jac):
     return UArray(mean, jac)
 
 
+def normal(mean, sdev):
+    """Independent normal variables with the given means and sdevs
+    (one new primary block); the gvar-style constructor."""
+    mean = jnp.asarray(mean, float)
+    sdev = jnp.asarray(sdev, float)
+    mean, sdev = jnp.broadcast_arrays(mean, sdev)
+    n = mean.size
+    J = jnp.zeros((n, n), mean.dtype)
+    J = J.at[jnp.arange(n), jnp.arange(n)].set(sdev.reshape(-1))
+    return UArray(mean, {next_block_id(): J.reshape(mean.shape + (n,))})
+
+
 def ufunc(f, x, dfdx=None):
     """Apply a scalar function elementwise with delta-method propagation."""
     if not isinstance(x, UArray):

@@ -1,0 +1,139 @@
+"""empbayes_fit statistical-correctness tests (model: reference
+tests/test_fit.py — synthetic data from known hyperparameters, check the
+estimate covers the truth)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lsqfitgp_tpu as lgp
+from lsqfitgp_tpu import GP, empbayes_fit, uncert
+from lsqfitgp_tpu.kernels import ExpQuad
+
+
+def make_data(rng, n=40, scale=2.0, sigma=0.1):
+    x = np.sort(rng.uniform(-5, 5, n))
+    k = ExpQuad(scale=scale)
+    K = np.asarray(k(x[:, None], x[None, :]))
+    L = np.linalg.cholesky(K + 1e-12 * np.eye(n))
+    f = L @ rng.standard_normal(n)
+    y = f + sigma * rng.standard_normal(n)
+    return x, y
+
+
+def gpfactory_maker(x, sigma=0.1):
+    n = len(x)
+
+    def gpfactory(hp):
+        gp = GP(ExpQuad(scale=hp['scale']))
+        gp = gp.addx(x, 'f').addcov(sigma**2 * jnp.eye(n), 'e')
+        gp = gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                             checklin=False)
+        return gp
+
+    return gpfactory
+
+
+def test_fit_recovers_scale(rng):
+    x, y = make_data(rng, scale=2.0)
+    fit = empbayes_fit(
+        {'log(scale)': (np.log(1.0), 1.0)},
+        gpfactory_maker(x),
+        {'y': y},
+    )
+    post = fit.p['scale']
+    est = float(post.mean)
+    err = float(post.sdev)
+    assert abs(est - 2.0) < 4 * max(err, 0.3), (est, err)
+    assert err > 0
+
+
+def test_fit_jax_optimizer_agrees(rng):
+    x, y = make_data(rng, scale=1.5)
+    hp = {'log(scale)': (0.0, 1.0)}
+    gpf = gpfactory_maker(x)
+    fit1 = empbayes_fit(hp, gpf, {'y': y}, optimizer='scipy')
+    fit2 = empbayes_fit(hp, gpf, {'y': y}, optimizer='jax', raises=False)
+    np.testing.assert_allclose(
+        float(fit1.p['scale'].mean), float(fit2.p['scale'].mean), rtol=1e-3
+    )
+
+
+def test_fit_fisher_covariance(rng):
+    x, y = make_data(rng, scale=1.5)
+    fit = empbayes_fit(
+        {'log(scale)': (0.0, 1.0)},
+        gpfactory_maker(x),
+        {'y': y},
+        covariance='fisher',
+    )
+    assert float(fit.p['scale'].sdev) > 0
+
+
+def test_fit_fix(rng):
+    x, y = make_data(rng, scale=1.5)
+    fit = empbayes_fit(
+        {'log(scale)': (np.log(1.7), 1.0), 'log(amp)': (0.0, 1.0)},
+        lambda hp: (
+            GP(hp['amp'] ** 2 * ExpQuad(scale=hp['scale']))
+            .addx(x, 'f').addcov(0.01 * jnp.eye(len(x)), 'e')
+            .addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                          checklin=False)
+        ),
+        {'y': y},
+        fix={'log(scale)': True},
+    )
+    np.testing.assert_allclose(float(fit.p['scale'].mean), 1.7, rtol=1e-10)
+    np.testing.assert_allclose(float(fit.p['scale'].sdev), 0.0, atol=1e-6)
+
+
+def test_fit_nograd(rng):
+    x, y = make_data(rng, n=20, scale=1.5)
+    fit = empbayes_fit(
+        {'log(scale)': (0.0, 1.0)},
+        gpfactory_maker(x),
+        {'y': y},
+        method='nograd',
+    )
+    assert 0.3 < float(fit.p['scale'].mean) < 10
+
+
+def test_fit_additional_loss(rng):
+    x, y = make_data(rng, n=25, scale=1.5)
+    # huge quadratic pull toward log(scale)=log(3) dominates
+    fit = empbayes_fit(
+        {'log(scale)': (0.0, 5.0)},
+        gpfactory_maker(x),
+        {'y': y},
+        additional_loss=lambda hp: 1e6 * (hp['log(scale)'] - np.log(3.0))**2,
+    )
+    np.testing.assert_allclose(float(fit.p['scale'].mean), 3.0, rtol=1e-2)
+
+
+def test_fit_then_pred(rng):
+    x, y = make_data(rng, scale=2.0)
+    xs = np.linspace(-4, 4, 10)
+    fit = empbayes_fit(
+        {'log(scale)': (0.0, 1.0)}, gpfactory_maker(x), {'y': y}
+    )
+    gp = fit.gp().addx(xs, 'pred')
+    u = gp.predfromdata({'y': y}, 'pred')
+    assert u.shape == (10,)
+    assert np.all(np.isfinite(np.asarray(u.mean)))
+    assert np.all(np.asarray(u.sdev) >= -1e-12)
+
+
+def test_raniter(rng, key):
+    from lsqfitgp_tpu import raniter, sample
+    mean = {'a': np.zeros(3), 'b': np.ones((2,))}
+    cov = {
+        ('a', 'a'): np.eye(3), ('b', 'b'): 0.25 * np.eye(2),
+        ('a', 'b'): np.zeros((3, 2)),
+    }
+    it = raniter(mean, cov, key=key)
+    s = next(it)
+    assert s['a'].shape == (3,) and s['b'].shape == (2,)
+    batch = sample(mean, cov, key=key, shape=500)
+    assert batch['a'].shape == (500, 3)
+    np.testing.assert_allclose(np.asarray(batch['b']).std(0), 0.5, atol=0.1)
