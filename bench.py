@@ -1,0 +1,143 @@
+"""Headline benchmark: GP marginal-likelihood pipeline (Gram assembly +
+regularized Cholesky + solve) throughput.
+
+Metric (per BASELINE.json): Cholesky+solve TFLOP/s at large N.
+
+- main measurement: this framework on the default backend (TPU, fp32)
+  at N=16384;
+- baseline: the reference-equivalent pipeline — lsqfitgp is a pure
+  jax-CPU/float64 library, so the baseline is the same computation run
+  on CPU in float64 (measured in a subprocess at N=4096 and scaled by
+  the n³ work ratio, since CPU f64 Cholesky throughput is essentially
+  size-independent at these sizes).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _enable_compile_cache():
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache')
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def pipeline_flops(n, nrhs=1):
+    # cholesky n^3/3 + triangular solves 2 n^2 nrhs + logdet n
+    return n ** 3 / 3 + 2 * n ** 2 * nrhs
+
+
+def run_pipeline(n, dtype, repeats=3):
+    import jax
+    import jax.numpy as jnp
+    import numpy
+    from lsqfitgp_tpu.linalg import Chol
+    import lsqfitgp_tpu as lgp
+
+    x = jnp.linspace(-10, 10, n, dtype=dtype)
+    rng = numpy.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal(n), dtype)
+    k = lgp.ExpQuad(scale=2.0)
+
+    @jax.jit
+    def gram(x):
+        K = k.core(x[:, None], x[None, :])
+        return K + jnp.asarray(0.01, dtype) * jnp.eye(n, dtype=dtype)
+
+    @jax.jit
+    def chol_solve(K, y):
+        dec = Chol(K)
+        return dec.minus_log_normal_density(y)
+
+    # compile + warmup (force host materialization: block_until_ready on
+    # tunneled backends can return before execution completes)
+    t0 = time.perf_counter()
+    K = gram(x)
+    float(jnp.sum(K[:2, :2]))
+    _log(f'[bench] gram compile+run n={n}: {time.perf_counter()-t0:.1f}s')
+    t0 = time.perf_counter()
+    float(chol_solve(K, y))
+    _log(f'[bench] chol compile+run n={n}: {time.perf_counter()-t0:.1f}s')
+
+    t_gram = []
+    t_chol = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        K = gram(x + jnp.float32(i) * jnp.float32(1e-12))
+        float(jnp.sum(K[:2, :2]))
+        t_gram.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = float(chol_solve(K, y + jnp.float32(i) * jnp.float32(1e-9)))
+        t_chol.append(time.perf_counter() - t0)
+    assert numpy.isfinite(out)
+    return min(t_gram), min(t_chol)
+
+
+def baseline_worker(n):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    _, t_chol = run_pipeline(n, jnp.float64, repeats=2)
+    print(json.dumps({'t_chol': t_chol, 'n': n}))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == '--baseline-worker':
+        baseline_worker(int(sys.argv[2]))
+        return
+
+    import jax
+    import jax.numpy as jnp
+    _enable_compile_cache()
+
+    # note: XLA-TPU Cholesky *compile* time grows with n (~65 s at 8k);
+    # runtime is milliseconds. 8192 keeps the whole bench under ~3 min
+    # cold; the persistent compile cache makes later runs fast.
+    n = 8192
+    backend = jax.default_backend()
+    if backend == 'cpu':
+        n = 4096  # CI/dev fallback
+    t_gram, t_chol = run_pipeline(n, jnp.float32)
+    tflops = pipeline_flops(n) / t_chol / 1e12
+
+    # reference-equivalent CPU/f64 baseline
+    nb = 4096
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, '--baseline-worker', str(nb)],
+            capture_output=True, text=True, timeout=900, check=True,
+        )
+        base = json.loads(out.stdout.strip().splitlines()[-1])
+        base_tflops = pipeline_flops(nb) / base['t_chol'] / 1e12
+        vs = tflops / base_tflops
+    except Exception:
+        vs = float('nan')
+
+    print(json.dumps({
+        'metric': f'gp_cholesky_solve_tflops_n{n}_{backend}',
+        'value': round(tflops, 4),
+        'unit': 'TFLOP/s',
+        'vs_baseline': round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()
