@@ -12,3 +12,4 @@ from jax.scipy.special import zeta as hurwitz_zeta  # ζ(s, q)
 from ._exp import expm1x
 from ._bessel import j0, kv_half, kvmodx2_hi
 from ._expint import ci, si, expn_imag_real
+from ._invinc import gammaincinv, gammainccinv, betaincinv

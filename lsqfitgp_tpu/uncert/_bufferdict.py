@@ -60,7 +60,14 @@ def _parse_key(key):
 def _apply_inv(name, v):
     invfcn, _ = _distributions[name]
     if isinstance(v, UArray):
-        return _ufunc(invfcn, v)
+        # general (possibly non-elementwise) map: first-order propagation
+        # J_out = (df/dv) @ J via jvp over each primary-block column
+        out_mean = invfcn(v.mean)
+        jac = {}
+        for k, J in v.jac.items():
+            push = lambda t: jax.jvp(invfcn, (v.mean,), (t,))[1]
+            jac[k] = jax.vmap(push, in_axes=-1, out_axes=-1)(J)
+        return UArray(out_mean, jac)
     return invfcn(v)
 
 
