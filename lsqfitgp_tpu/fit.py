@@ -208,7 +208,7 @@ class empbayes_fit:
         def nll(w):
             hp = make_hp(w)
             if data_callable:
-                d = given(hp)
+                d = given(hp, **gpfactorykw)
                 g, gcov = (d if isinstance(d, tuple) else (d, None))
             else:
                 g, gcov = given, givencov
@@ -260,8 +260,9 @@ class empbayes_fit:
                 def f(w):
                     v, g = value_and_grad(jnp.asarray(w))
                     return float(v), numpy.asarray(g, float)
+                scipy_method = kw.pop('method', 'BFGS')
                 res = scipy.optimize.minimize(
-                    f, numpy.asarray(w0), jac=True, method='BFGS', **kw
+                    f, numpy.asarray(w0), jac=True, method=scipy_method, **kw
                 )
             elif method == 'fisher':
                 def f(w):
@@ -331,7 +332,7 @@ class empbayes_fit:
         hp_map = prior.replace_buf(pmean)
         self.pmap = hp_map
         if data_callable:
-            d = given(hp_map)
+            d = given(hp_map, **gpfactorykw)
             self.data = d if isinstance(d, tuple) else (d, None)
         else:
             self.data = (given, givencov)

@@ -17,6 +17,7 @@ from ._randomwalk import (
 from ._celerite import Celerite, Harmonic
 from ._wendland import Wendland, Circular
 from ._spectral import Cos, Pink, Color, Sinc
+from ._bart import BART
 
 __all__ = [
     'Constant', 'White', 'ExpQuad', 'Linear', 'GammaExp', 'NNKernel',
@@ -27,4 +28,5 @@ __all__ = [
     'BrownianBridge', 'StationaryFracBrownian',
     'Celerite', 'Harmonic', 'Wendland', 'Circular',
     'Cos', 'Pink', 'Color', 'Sinc',
+    'BART',
 ]
