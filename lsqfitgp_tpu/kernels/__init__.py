@@ -18,6 +18,7 @@ from ._celerite import Celerite, Harmonic
 from ._wendland import Wendland, Circular
 from ._spectral import Cos, Pink, Color, Sinc
 from ._bart import BART
+from ._arma import MA, AR
 
 __all__ = [
     'Constant', 'White', 'ExpQuad', 'Linear', 'GammaExp', 'NNKernel',
@@ -28,5 +29,5 @@ __all__ = [
     'BrownianBridge', 'StationaryFracBrownian',
     'Celerite', 'Harmonic', 'Wendland', 'Circular',
     'Cos', 'Pink', 'Color', 'Sinc',
-    'BART',
+    'BART', 'MA', 'AR',
 ]
