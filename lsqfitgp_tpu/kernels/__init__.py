@@ -9,7 +9,7 @@ from ._basic import (
     Categorical, Rescaling, Expon, BagOfWords, HoleEffect, Cauchy,
     CausalExpQuad, Decaying, Log, Taylor,
 )
-from ._matern import Maternp
+from ._matern import Maternp, Matern, Bessel
 from ._randomwalk import (
     Wiener, FracBrownian, WienerIntegral, OrnsteinUhlenbeck,
     BrownianBridge, StationaryFracBrownian,
@@ -19,15 +19,17 @@ from ._wendland import Wendland, Circular
 from ._spectral import Cos, Pink, Color, Sinc
 from ._bart import BART
 from ._arma import MA, AR
+from ._zeta import Zeta, ZetaFourier, CrossZetaFourier
 
 __all__ = [
     'Constant', 'White', 'ExpQuad', 'Linear', 'GammaExp', 'NNKernel',
     'Gibbs', 'Periodic', 'Categorical', 'Rescaling', 'Expon', 'BagOfWords',
     'HoleEffect', 'Cauchy', 'CausalExpQuad', 'Decaying', 'Log', 'Taylor',
-    'Maternp',
+    'Maternp', 'Matern', 'Bessel',
     'Wiener', 'FracBrownian', 'WienerIntegral', 'OrnsteinUhlenbeck',
     'BrownianBridge', 'StationaryFracBrownian',
     'Celerite', 'Harmonic', 'Wendland', 'Circular',
     'Cos', 'Pink', 'Color', 'Sinc',
     'BART', 'MA', 'AR',
+    'Zeta', 'ZetaFourier', 'CrossZetaFourier',
 ]

@@ -13,3 +13,5 @@ from ._exp import expm1x
 from ._bessel import j0, kv_half, kvmodx2_hi
 from ._expint import ci, si, expn_imag_real
 from ._invinc import gammaincinv, gammainccinv, betaincinv
+from ._zeta import zeta_real, periodic_zeta, periodic_bernoulli
+from ._kv import iv, kv, kvmodx2, jv, jvmodx2
