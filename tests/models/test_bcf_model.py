@@ -1,0 +1,70 @@
+"""bcf model smoke + sanity tests (model: reference
+tests/bayestree/test_bcf.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsqfitgp_tpu.models import bcf
+
+
+@pytest.fixture
+def causal_data(rng):
+    n = 50
+    x = rng.uniform(0, 1, (n, 2))
+    true_mu = np.sin(2 * np.pi * x[:, 0])
+    true_tau = 1.0 + 0.5 * x[:, 1]
+    propensity = 1 / (1 + np.exp(-2 * (x[:, 0] - 0.5)))
+    z = (rng.uniform(size=n) < propensity).astype(float)
+    y = true_mu + true_tau * z + 0.1 * rng.standard_normal(n)
+    return x, y, z, propensity, true_tau
+
+
+FITKW = dict(
+    minkw=dict(method='L-BFGS-B', options=dict(maxiter=20, maxls=4)),
+)
+KKW = dict(maxd=2, reset=None)
+
+
+def test_bcf_fit(causal_data):
+    x, y, z, pihat, true_tau = causal_data
+    m = bcf(y=y, z=z, x_mu=x, pihat=pihat, fitkw=FITKW,
+            kernelkw_mu=KKW, kernelkw_tau=KKW)
+    assert 0 < float(m.z_0.mean) < 1
+    assert float(m.sigma.mean) > 0
+    assert float(m.lambda_tau.mean) > 0
+    u = m.pred()
+    assert u.shape == y.shape
+
+
+def test_bcf_treatment_effect(causal_data, rng):
+    x, y, z, pihat, true_tau = causal_data
+    m = bcf(y=y, z=z, x_mu=x, pihat=pihat, fitkw=FITKW,
+            kernelkw_mu=KKW, kernelkw_tau=KKW)
+    # counterfactual difference at training covariates = tau in eta space
+    u1 = m.pred(z=np.ones_like(z), x_mu=x, pihat=pihat)
+    u0 = m.pred(z=np.zeros_like(z), x_mu=x, pihat=pihat)
+    tau_eta = np.asarray(u1.mean) - np.asarray(u0.mean)
+    # transform back to y scale: standardize is linear with scale std(y)
+    tau_y = tau_eta * y.std()
+    # average treatment effect should be positive and roughly right
+    ate = tau_y.mean()
+    assert 0.2 < ate < 3.0, ate
+
+
+def test_bcf_yeojohnson(causal_data):
+    x, y, z, pihat, true_tau = causal_data
+    m = bcf(y=y - y.min() + 0.1, z=z, x_mu=x, pihat=pihat,
+            transf=['standardize', 'yeojohnson'],
+            fitkw=FITKW, kernelkw_mu=KKW, kernelkw_tau=KKW)
+    assert 'transf1_lambda_yj' in m.fit.p
+    eta = m.from_data(y - y.min() + 0.1)
+    back = np.asarray(m.to_data(eta))
+    np.testing.assert_allclose(back, y - y.min() + 0.1, rtol=1e-6)
+
+
+def test_bcf_include_pi_tau(causal_data):
+    x, y, z, pihat, true_tau = causal_data
+    m = bcf(y=y, z=z, x_mu=x, x_tau=x, pihat=pihat, include_pi='both',
+            fitkw=FITKW, kernelkw_mu=KKW, kernelkw_tau=KKW)
+    assert np.isfinite(float(m.sigma.mean))
