@@ -354,3 +354,37 @@ class empbayes_fit:
     def gp(self):
         """The GP built at the MAP hyperparameters."""
         return self.gpfactory(self.pmap, **self.gpfactorykw)
+
+    # -- checkpoint / resume (new vs the reference, SURVEY §5: the
+    # reference never persists fit state) --------------------------------
+
+    def save(self, path):
+        """Persist the fit state (layout, posterior mean/cov, whitened
+        minimum) to an .npz file."""
+        numpy.savez(
+            path,
+            keys=numpy.asarray(self.prior.keys(), object),
+            shapes=numpy.asarray(
+                [list(self.prior._slices[k][1]) for k in self.prior.keys()],
+                object,
+            ),
+            pmean=numpy.asarray(self.pmean),
+            pcov=numpy.asarray(self.pcov),
+            w=numpy.asarray(self.w),
+            allow_pickle=True,
+        )
+
+    @staticmethod
+    def load(path):
+        """Load a saved fit state: returns a dict with 'p' (BufferDict of
+        UArray posterior), 'pmean', 'pcov', 'w'."""
+        dat = numpy.load(path, allow_pickle=True)
+        keys = list(dat['keys'])
+        shapes = [tuple(s) for s in dat['shapes']]
+        pmean = jnp.asarray(dat['pmean'])
+        pcov = jnp.asarray(dat['pcov'])
+        u = from_cov(pmean, pcov)
+        bd = BufferDict(keys=keys, shapes=shapes, buf=u)
+        return dict(
+            p=bd, pmean=pmean, pcov=pcov, w=jnp.asarray(dat['w'])
+        )

@@ -260,16 +260,20 @@ tree_util.register_pytree_node(
 
 def from_cov(mean, covmat, *, block_id=None):
     """Create a UArray with given mean and covariance (one new primary
-    block).  cov may have shape ``s + s`` (matrix over flattened s)."""
-    from ..linalg import Chol
+    block).  cov may have shape ``s + s`` (matrix over flattened s).
 
+    Factorized by symmetric eigendecomposition with negative eigenvalues
+    clipped to zero: posterior covariances are often indefinite at the
+    eps level (Kss − Kxs'K⁻¹Kxs in floating point), which would NaN a
+    Cholesky."""
     mean = jnp.asarray(mean)
     covmat = jnp.asarray(covmat)
     s = mean.shape
     n = mean.size
     covf = covmat.reshape(n, n)
-    dec = Chol(covf)
-    L = dec.correlate(jnp.eye(n, dtype=covf.dtype))
+    covf = 0.5 * (covf + covf.T)
+    w, V = jnp.linalg.eigh(covf)
+    L = V * jnp.sqrt(jnp.clip(w, 0, None))
     if block_id is None:
         block_id = next_block_id()
     return UArray(mean, {block_id: L.reshape(s + (n,))})

@@ -21,6 +21,16 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+# persistent compile cache: repeat test runs skip XLA compilation
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache')
+os.makedirs(_cache, exist_ok=True)
+try:
+    jax.config.update('jax_compilation_cache_dir', _cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -10,7 +10,7 @@ from lsqfitgp_tpu.models import bcf
 
 @pytest.fixture
 def causal_data(rng):
-    n = 50
+    n = 35
     x = rng.uniform(0, 1, (n, 2))
     true_mu = np.sin(2 * np.pi * x[:, 0])
     true_tau = 1.0 + 0.5 * x[:, 1]
@@ -21,7 +21,7 @@ def causal_data(rng):
 
 
 FITKW = dict(
-    minkw=dict(method='L-BFGS-B', options=dict(maxiter=20, maxls=4)),
+    minkw=dict(method='L-BFGS-B', options=dict(maxiter=12, maxls=4)),
 )
 KKW = dict(maxd=2, reset=None)
 
