@@ -43,9 +43,17 @@ def pipeline_flops(n, nrhs=1):
     return n ** 3 / 3 + 2 * n ** 2 * nrhs
 
 
-def run_pipeline(n, dtype, repeats=3):
+def run_pipeline(n, dtype, repeats=2, inner=8):
+    """Time the Gram assembly and the Cholesky+solve density separately.
+
+    Each measured quantity runs ``inner`` chained iterations inside one
+    jitted ``lax.scan`` (inputs perturbed per step so nothing folds
+    away), then materializes one scalar on the host — this amortizes the
+    remote-tunnel sync latency (~30 ms) that would otherwise dominate.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     import numpy
     from lsqfitgp_tpu.linalg import Chol
     import lsqfitgp_tpu as lgp
@@ -55,38 +63,52 @@ def run_pipeline(n, dtype, repeats=3):
     y = jnp.asarray(rng.standard_normal(n), dtype)
     k = lgp.ExpQuad(scale=2.0)
 
-    @jax.jit
     def gram(x):
         K = k.core(x[:, None], x[None, :])
         return K + jnp.asarray(0.01, dtype) * jnp.eye(n, dtype=dtype)
 
-    @jax.jit
     def chol_solve(K, y):
-        dec = Chol(K)
-        return dec.minus_log_normal_density(y)
+        return Chol(K).minus_log_normal_density(y)
 
-    # compile + warmup (force host materialization: block_until_ready on
-    # tunneled backends can return before execution completes)
-    t0 = time.perf_counter()
-    K = gram(x)
-    float(jnp.sum(K[:2, :2]))
-    _log(f'[bench] gram compile+run n={n}: {time.perf_counter()-t0:.1f}s')
-    t0 = time.perf_counter()
-    float(chol_solve(K, y))
-    _log(f'[bench] chol compile+run n={n}: {time.perf_counter()-t0:.1f}s')
+    @jax.jit
+    def gram_loop(x):
+        def body(c, _):
+            K = gram(x + c * jnp.asarray(1e-20, dtype))
+            return jnp.sum(K[:1, :1]) * jnp.asarray(1e-30, dtype), None
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=inner)
+        return c
 
-    t_gram = []
-    t_chol = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        K = gram(x + jnp.float32(i) * jnp.float32(1e-12))
-        float(jnp.sum(K[:2, :2]))
-        t_gram.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        out = float(chol_solve(K, y + jnp.float32(i) * jnp.float32(1e-9)))
-        t_chol.append(time.perf_counter() - t0)
+    K0 = jax.jit(gram)(x)
+
+    @jax.jit
+    def chol_loop(K, y):
+        def body(c, _):
+            v = chol_solve(K + c * jnp.asarray(1e-30, dtype), y)
+            return v * jnp.asarray(1e-30, dtype), None
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=inner)
+        return c
+
+    t0 = time.perf_counter()
+    float(gram_loop(x))
+    _log(f'[bench] gram compile n={n}: {time.perf_counter()-t0:.1f}s')
+    t0 = time.perf_counter()
+    out = float(chol_loop(K0, y))
+    _log(f'[bench] chol compile n={n}: {time.perf_counter()-t0:.1f}s')
     assert numpy.isfinite(out)
-    return min(t_gram), min(t_chol)
+
+    t_gram = min(
+        _timed(lambda: float(gram_loop(x))) for _ in range(repeats)
+    ) / inner
+    t_chol = min(
+        _timed(lambda: float(chol_loop(K0, y))) for _ in range(repeats)
+    ) / inner
+    return t_gram, t_chol
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
 
 
 def baseline_worker(n):
