@@ -12,4 +12,8 @@ expressed over a `jax.sharding.Mesh`:
   building block for multi-chip `empbayes_fit`.
 """
 
-from ._mesh import make_mesh, sharded_gram, sharded_nll, sharded_train_step
+from ._mesh import (
+    make_mesh, sharded_gram, sharded_nll, sharded_nll_distributed,
+    sharded_train_step,
+)
+from ._pchol import block_cholesky, block_solve_lower

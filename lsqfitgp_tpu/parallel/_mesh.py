@@ -77,6 +77,30 @@ def sharded_nll(kernel_fn, x, y, noise_var, *, mesh):
     return dec.minus_log_normal_density(y)
 
 
+def sharded_nll_distributed(kernel_fn, x, y, noise_var, *, mesh,
+                            axis='r', block=128):
+    """-log marginal likelihood where BOTH the Gram assembly and the
+    Cholesky factorization + solve are distributed (no single-device
+    gather of the n×n matrix): row-sharded assembly, blocked-panel
+    shard_map Cholesky (`parallel.block_cholesky`), distributed forward
+    substitution, local log-diagonal reduction."""
+    import math as _math
+    from ._pchol import block_cholesky, block_solve_lower
+
+    n = y.shape[0]
+    rows = NamedSharding(mesh, P(axis))
+    xr = jax.lax.with_sharding_constraint(x, rows)
+    K = kernel_fn(xr[:, None], x[None, :])
+    K = K + noise_var * jnp.eye(n, dtype=K.dtype)
+    K = jax.lax.with_sharding_constraint(
+        K, NamedSharding(mesh, P(axis, None))
+    )
+    L = block_cholesky(K, mesh, axis=axis, block=block)
+    z = block_solve_lower(L, y, mesh, axis=axis, block=block)
+    logdet = 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    return 0.5 * (z @ z + logdet + n * _math.log(2 * _math.pi))
+
+
 def sharded_train_step(kernel_family, *, mesh):
     """Build a jittable training step ``step(params, x, y) -> (loss,
     grads)`` where the Gram assembly is sharded over the mesh.
