@@ -47,6 +47,82 @@ from .fit import empbayes_fit
 from .raniter import raniter, sample
 from .uncert import BufferDict, add_distribution
 
+from . import copula
+from . import models
+from . import ops
+from . import parallel
+from . import utils
+
+# reference-compatible aliases (lsqfitgp top-level surface)
+bayestree = models
+
+
+def broadcast(*arrays):
+    """Broadcast arrays (incl. StructuredArray) to a common shape and
+    return the first; reference ``_array.broadcast`` usage is
+    ``broadcast(x, y).shape``."""
+    return broadcast_arrays(*arrays)[0]
+
+
+def jacobian(u):
+    """(mean, dense jacobian wrt the concatenated primary Normals) of a
+    UArray — reference ``_gvarext/_jacobian.py:44``."""
+    import jax.numpy as _jnp
+    keys = sorted(u.jac)
+    jacs = [u.jac[k].reshape(u.size, -1) for k in keys]
+    J = _jnp.concatenate(jacs, axis=-1) if jacs else _jnp.zeros((u.size, 0))
+    return u.mean, J.reshape(u.shape + (-1,))
+
+
+def from_jacobian(mean, jac):
+    """UArray from (mean, jacobian) — reference ``_jacobian.py:77``."""
+    from . import uncert as _u
+    import jax.numpy as _jnp
+    jac = _jnp.asarray(jac)
+    return _u.UArray(mean, {_u.next_block_id(): jac})
+
+
+def gvar_gufunc(fn, *, signature=None):
+    """Wrap a jax function so it accepts UArray inputs with first-order
+    propagation — reference ``_gvarext/_ufunc.py:32``."""
+    from . import uncert as _u
+
+    def wrapper(x, *args, **kw):
+        if isinstance(x, _u.UArray):
+            return _u.ufunc(lambda v: fn(v, *args, **kw), x)
+        return fn(x, *args, **kw)
+
+    return wrapper
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def switchgvar():
+    """No-op context manager kept for reference API compatibility: gvar
+    switches primary-variable memory pools; UArray blocks are garbage
+    collected per-object, so there is no pool to switch."""
+    yield
+
+
+from .utils import uformat, tabulate_together
+from .utils._format import format_uarray as gvar_format
+
+
+def fmtspec_kwargs(spec):
+    """Parse a format spec 'errdig:style' into uformat kwargs
+    (simplified counterpart of reference ``_format.py:198``)."""
+    out = {}
+    if not spec:
+        return out
+    parts = spec.split(':')
+    if parts[0]:
+        out['errdig'] = float(parts[0])
+    if len(parts) > 1 and parts[1]:
+        out['style'] = parts[1]
+    return out
+
 __all__ = [
     'StructuredArray', 'asarray', 'Deriv', 'GP', 'DefaultProcess',
     'CrossKernel', 'Kernel', 'StationaryKernel', 'IsotropicKernel',
