@@ -174,8 +174,8 @@ class empbayes_fit:
     def __init__(self, hyperprior, gpfactory, data, *,
                  method='gradient', optimizer='scipy', initial='priormean',
                  covariance='auto', fix=None, additional_loss=None,
-                 jit=True, raises=True, verbosity=0, minkw={},
-                 gpfactorykw={}, forward=False):
+                 jit=True, raises=True, verbosity=0, minkw={}, mlkw={},
+                 gpfactorykw={}, forward=False, seed=0):
         log = Logger(verbosity)
         self.log = log
         prior, pmean_prior, pdec = _parse_hyperprior(hyperprior)
@@ -213,7 +213,7 @@ class empbayes_fit:
             else:
                 g, gcov = given, givencov
             gp = gpfactory(hp, **gpfactorykw)
-            dec, r = gp._prior_decomp(g, gcov)
+            dec, r = gp._prior_decomp(g, gcov, **mlkw)
             out = dec.minus_log_normal_density(r)
             wfree = jnp.where(fixmask, 0.0, w)
             out = out + 0.5 * jnp.dot(wfree, wfree)
@@ -222,15 +222,29 @@ class empbayes_fit:
             return out
 
         self._nll = nll
-        value_and_grad = jax.value_and_grad(nll)
+        if forward:
+            # forward-mode gradients: faster when the kernel evaluation
+            # dominates and P is small (e.g. BART; reference _fit.py
+            # `forward` option)
+            def value_and_grad(w):
+                return nll(w), jax.jacfwd(nll)(w)
+        else:
+            value_and_grad = jax.value_and_grad(nll)
         if jit:
             nll_c = jax.jit(nll)
             value_and_grad = jax.jit(value_and_grad)
         else:
             nll_c = nll
 
-        w0 = jnp.zeros(nparam)
-        if not (isinstance(initial, str) and initial == 'priormean'):
+        if isinstance(initial, str) and initial == 'priormean':
+            w0 = jnp.zeros(nparam)
+        elif isinstance(initial, str) and initial == 'priorsample':
+            w0 = jnp.asarray(
+                numpy.random.default_rng(seed).standard_normal(nparam)
+            )
+        elif isinstance(initial, str):
+            raise KeyError(f'unknown initial {initial!r}')
+        else:
             p0 = jnp.asarray(initial)
             w0 = pdec.pinv_correlate(p0 - pmean_prior)
 
@@ -251,18 +265,34 @@ class empbayes_fit:
         else:
             import scipy.optimize
             kw = dict(minkw)
+            counts = {'fun': 0, 'jac': 0}
+            itercount = [0]
+
+            def callback(xk):
+                itercount[0] += 1
+                if verbosity >= 3:
+                    v = float(nll_c(jnp.asarray(xk)))
+                    log.log(f'iter {itercount[0]}: nll = {v:.6g}', 3)
+
+            cb = callback if verbosity >= 3 else None
             if method == 'nograd':
-                f = lambda w: float(nll_c(jnp.asarray(w)))
+                def f(w):
+                    counts['fun'] += 1
+                    return float(timer['fun'].time(nll_c, jnp.asarray(w)))
                 res = scipy.optimize.minimize(
-                    f, numpy.asarray(w0), method='Nelder-Mead', **kw
+                    f, numpy.asarray(w0), method='Nelder-Mead',
+                    callback=cb, **kw
                 )
             elif method == 'gradient':
                 def f(w):
-                    v, g = value_and_grad(jnp.asarray(w))
+                    counts['fun'] += 1
+                    counts['jac'] += 1
+                    v, g = timer['fun'].time(value_and_grad, jnp.asarray(w))
                     return float(v), numpy.asarray(g, float)
                 scipy_method = kw.pop('method', 'BFGS')
                 res = scipy.optimize.minimize(
-                    f, numpy.asarray(w0), jac=True, method=scipy_method, **kw
+                    f, numpy.asarray(w0), jac=True, method=scipy_method,
+                    callback=cb, **kw
                 )
             elif method == 'fisher':
                 def f(w):
@@ -326,6 +356,8 @@ class empbayes_fit:
         self.p = prior.replace_buf(u)
         self.w = wmin
         self.minargs = dict(method=method, optimizer=optimizer, minkw=minkw)
+        self.counts = counts if optimizer == 'scipy' else {}
+        self.timings = {k: (t.calls, t.seconds) for k, t in timer.items()}
         self.gpfactory = gpfactory
         self.gpfactorykw = gpfactorykw
         # the GP at the MAP point, for downstream predictions

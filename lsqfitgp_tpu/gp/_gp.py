@@ -512,24 +512,25 @@ class GP:
 
     # -- solvers ---------------------------------------------------------------
 
-    def _solver_for(self, inkeys, extracov=None):
+    def _solver_for(self, inkeys, extracov=None, **decompkw):
         cachekey = (tuple(inkeys), extracov is None)
-        if extracov is None and cachekey in self._decomp_cache:
+        cacheable = extracov is None and not decompkw
+        if cacheable and cachekey in self._decomp_cache:
             return self._decomp_cache[cachekey]
         Kxx = self._assemble(inkeys, inkeys)
         if extracov is not None:
             Kxx = Kxx + extracov
         else:
             self._checkpos(Kxx)
-        dec = self._make_decomp(Kxx)
-        if extracov is None:
+        dec = self._make_decomp(Kxx, **decompkw)
+        if cacheable:
             self._decomp_cache[cachekey] = dec
         return dec
 
-    def _make_decomp(self, K):
+    def _make_decomp(self, K, **decompkw):
         if self._solver != 'chol':
             raise KeyError(f'unknown solver {self._solver!r}')
-        return Chol(K, **self._solverkw)
+        return Chol(K, **{**self._solverkw, **decompkw})
 
     @classmethod
     def decompose(cls, posdefmatrix, solver='chol', **kw):
@@ -754,11 +755,12 @@ class GP:
         solver = self._solver_for(inkeys, extracov=ycov)
         return -solver.minus_log_normal_density(ymean)
 
-    def _prior_decomp(self, given, givencov=None):
+    def _prior_decomp(self, given, givencov=None, **decompkw):
         """(decomposition of the data covariance, residuals); used by the
-        fit driver (reference ``_compute.py:336``)."""
+        fit driver (reference ``_compute.py:336``).  ``decompkw`` (e.g.
+        epsrel/epsabs) overrides the GP-level solver options."""
         inkeys, ymean, ycov, _ = self._flatgiven(given, givencov)
-        solver = self._solver_for(inkeys, extracov=ycov)
+        solver = self._solver_for(inkeys, extracov=ycov, **decompkw)
         return solver, ymean
 
 

@@ -26,7 +26,10 @@ import jax
 import numpy
 from jax import lax
 from jax import numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['block_cholesky', 'block_solve_lower']
