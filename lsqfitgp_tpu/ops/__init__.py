@@ -1,3 +1,3 @@
 """Hand-written Pallas (Mosaic TPU) kernels for the hot compute paths."""
 
-from ._gram import gram, gram_xla
+from ._gram import gram, gram_sym, gram_xla

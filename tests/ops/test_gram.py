@@ -54,3 +54,13 @@ def test_inside_jit(rng):
     np.testing.assert_allclose(
         np.asarray(f(x)), np.asarray(gram_xla(profile, x, x)), atol=2e-6
     )
+
+
+def test_gram_sym_matches(rng):
+    from lsqfitgp_tpu.ops import gram_sym
+    profile = lambda r2: jnp.exp(-0.5 * r2)
+    x = jnp.asarray(rng.standard_normal((300, 3)), jnp.float32)
+    K1 = np.asarray(gram_sym(profile, x, noise=0.1, tile=128))
+    K2 = np.asarray(gram_xla(profile, x, x, noise=0.1))
+    np.testing.assert_allclose(K1, K2, atol=2e-6)
+    np.testing.assert_allclose(K1, K1.T, atol=0)
