@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import itertools
 
-from jax import numpy as jnp
 
 from .. import uncert
 from ._distr import Distr, DistrBase

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import math
 
-import jax
 from jax import numpy as jnp
 from jax.scipy import special as jspecial
 

@@ -10,8 +10,6 @@ the variable, compiled to pure XLA (no host callbacks).
 
 from __future__ import annotations
 
-import functools
-import math
 
 import jax
 from jax import numpy as jnp

@@ -29,7 +29,6 @@ Re-designs for TPU:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 import warnings
 
@@ -37,8 +36,7 @@ import jax
 import numpy
 from jax import numpy as jnp
 
-from . import _config
-from .uncert import BufferDict, UArray, from_cov, uconcatenate, evalcov
+from .uncert import BufferDict, UArray, from_cov
 from . import uncert
 from .linalg import Chol
 

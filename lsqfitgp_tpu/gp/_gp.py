@@ -25,7 +25,6 @@ jit-compiles, shards, and differentiates.
 from __future__ import annotations
 
 import collections
-import functools
 import math
 
 import jax
@@ -33,7 +32,6 @@ import numpy
 from jax import numpy as jnp
 
 from .. import _array, _config, _jaxutil
-from ..kernelalg import _core as _kcore
 from ..kernelalg import CrossKernel, Kernel, Zero
 from ..linalg import Chol
 from .. import uncert

@@ -14,7 +14,7 @@ from jax import numpy as jnp
 from jax.scipy import special as jspecial
 
 from ..special import expm1x
-from . import _core, _util
+from . import _util
 from ._core import CrossKernel, AffineSpan
 
 

@@ -32,7 +32,6 @@ import types
 import warnings
 
 import numpy
-from jax import numpy as jnp
 
 from .. import _array, _jaxutil
 from . import _util

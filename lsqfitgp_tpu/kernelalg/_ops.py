@@ -13,7 +13,7 @@ import numbers
 from jax import numpy as jnp
 
 from .. import _array, _deriv, _jaxutil
-from . import _core, _util
+from . import _util
 from ._core import CrossKernel, Kernel, AffineSpan
 
 __all__ = []

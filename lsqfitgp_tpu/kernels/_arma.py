@@ -16,12 +16,9 @@ AR ``:371`` over ``_ARBase:66``).  Three AR parametrizations:
 
 from __future__ import annotations
 
-import jax
-import numpy
 from jax import lax
 from jax import numpy as jnp
 
-from .. import _jaxutil
 from ..kernelalg import stationarykernel
 from ..linalg import _toeplitz
 

@@ -20,11 +20,8 @@ split choices with a masked ``lax.scan`` over a static bound.
 
 from __future__ import annotations
 
-import functools
-import math
 
 import jax
-import numpy
 from jax import lax
 from jax import numpy as jnp
 from jax.scipy import special as jspecial

@@ -15,7 +15,7 @@ from jax import numpy as jnp
 
 from .. import _jaxutil
 from ..kernelalg import (
-    AffineSpan, CrossKernel, Kernel, PreservedBySwap, StationaryKernel,
+    AffineSpan, CrossKernel, PreservedBySwap, StationaryKernel,
     crosskernel, kernel,
 )
 from ..special import periodic_zeta, zeta_real

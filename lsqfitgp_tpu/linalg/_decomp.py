@@ -29,7 +29,6 @@ from jax import lax
 from jax import numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from .. import _config
 from ._pytree import AutoPyTree
 
 __all__ = ['Decomposition', 'Chol', 'solve_batched']

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import abc
 
-import jax
 from jax import lax
 from jax import numpy as jnp
 

@@ -15,9 +15,7 @@ posterior UArrays.
 
 from __future__ import annotations
 
-import functools
 
-import jax
 import numpy
 from jax import numpy as jnp
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import warnings
 
-import jax
 import numpy
 from jax import numpy as jnp
 

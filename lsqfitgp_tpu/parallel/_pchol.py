@@ -22,15 +22,13 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import numpy
 from jax import lax
 from jax import numpy as jnp
 try:
     from jax import shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 __all__ = ['block_cholesky', 'block_solve_lower']
 

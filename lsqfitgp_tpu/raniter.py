@@ -13,7 +13,7 @@ import jax
 from jax import numpy as jnp
 
 from .linalg import Chol
-from .uncert import UArray, BufferDict, evalcov, uconcatenate
+from .uncert import UArray, BufferDict
 
 __all__ = ['raniter', 'sample']
 

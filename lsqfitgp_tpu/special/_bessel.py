@@ -8,7 +8,6 @@ series/asymptotic branches that compile to XLA.
 
 from __future__ import annotations
 
-import jax
 from jax import numpy as jnp
 
 __all__ = ['j0', 'kv_half', 'kvmodx2_hi']

@@ -18,7 +18,6 @@ are exact.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 from jax import numpy as jnp

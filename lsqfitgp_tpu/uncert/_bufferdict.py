@@ -22,7 +22,7 @@ from jax import numpy as jnp
 from jax import tree_util
 from jax.scipy import special as jspecial
 
-from ._uarray import UArray, ufunc as _ufunc
+from ._uarray import UArray
 
 __all__ = ['BufferDict', 'add_distribution', 'has_distribution']
 

@@ -22,10 +22,8 @@ nonlinear functions matches gvar semantics.
 from __future__ import annotations
 
 import itertools
-import math
 
 import jax
-import numpy
 from jax import numpy as jnp
 from jax import tree_util
 
