@@ -219,10 +219,45 @@ class _TransformedDistr(Distr):
         return f'{self._name}({", ".join(map(repr, self.params))})'
 
 
-def distribution(invfcn, core_size=1, out_shape=()):
+def distribution(invfcn, core_size=1, out_shape=(), signature=None):
     """Create a Distr subclass from an inverse-transformation function
-    ``invfcn(x, *params)`` (reference ``copula/_distr.py:564``)."""
+    ``invfcn(x, *params)`` (reference ``copula/_distr.py:564``).
+
+    Shapes can be given directly (``core_size``/``out_shape``, values or
+    callables of the concrete params) or via a numpy-gufunc ``signature``
+    whose first input core is the standard-Normal block, e.g.
+    ``'(n),(n)->(n)'`` for a dirichlet-like map — unknown dimension names
+    are resolved from the parameter shapes (reference ``_signature.py``).
+    """
     name = getattr(invfcn, '__name__', 'CustomDistr')
+
+    if signature is not None:
+        from .._signature import Signature
+        sig = Signature(signature)
+
+        def _bind(params):
+            sizes = {}
+            for core, p in zip(sig.incores[1:], params):
+                shape = jnp.shape(p)
+                tail = shape[len(shape) - len(core):]
+                for nm, size in zip(core, tail):
+                    if not nm.isdigit():
+                        sizes[nm] = size
+            return sizes
+
+        def core_size(*params):
+            sizes = _bind(params)
+            total = 1
+            for nm in sig.incores[0]:
+                total *= int(nm) if nm.isdigit() else sizes[nm]
+            return total
+
+        def out_shape(*params):
+            sizes = _bind(params)
+            return tuple(
+                int(nm) if nm.isdigit() else sizes[nm]
+                for nm in sig.outcores[0]
+            )
 
     ns = dict(
         invfcn=staticmethod(invfcn),

@@ -15,3 +15,4 @@ from ._expint import ci, si, expn_imag_real
 from ._invinc import gammaincinv, gammainccinv, betaincinv
 from ._zeta import zeta_real, periodic_zeta, periodic_bernoulli
 from ._kv import iv, kv, kvmodx2, jv, jvmodx2
+from ._taylor import taylor

@@ -1,0 +1,66 @@
+"""Statistical correctness of the fitter: chi-square coverage test
+(model: reference tests/test_fit.py check_fit/chisq_test — fit synthetic
+data from known hyperparameters and check the truth is covered by the
+estimated posterior)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.stats
+
+import lsqfitgp_tpu as lgp
+from lsqfitgp_tpu import GP, empbayes_fit
+from lsqfitgp_tpu.kernels import ExpQuad
+
+from util import tryagain
+
+
+def make_fit(rng, true_logscale=np.log(2.0), true_logamp=0.3, n=60,
+             sigma=0.05):
+    x = np.sort(rng.uniform(-5, 5, n))
+    k = np.exp(true_logamp) ** 2 * ExpQuad(scale=np.exp(true_logscale))
+    K = np.asarray(k(x[:, None], x[None, :]))
+    f = np.linalg.cholesky(K + 1e-10 * np.eye(n)) @ rng.standard_normal(n)
+    y = f + sigma * rng.standard_normal(n)
+
+    def gpf(hp):
+        gp = GP(hp['amp'] ** 2 * ExpQuad(scale=hp['scale']))
+        gp = gp.addx(x, 'f').addcov(sigma ** 2 * jnp.eye(n), 'e')
+        return gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                               checklin=False)
+
+    return empbayes_fit(
+        {'log(scale)': (0.0, 1.5), 'log(amp)': (0.0, 1.5)},
+        gpf, {'y': y},
+    )
+
+
+@tryagain
+def test_chisq_coverage(rng):
+    """The whitened residual of the true hyperparameters under the
+    estimated posterior should be chi-square distributed."""
+    truth = np.array([np.log(2.0), 0.3])
+    fit = make_fit(rng, *truth)
+    est = np.asarray(fit.pmean)
+    cov = np.asarray(fit.pcov)
+    resid = est - truth
+    q = float(resid @ np.linalg.solve(cov, resid))
+    # p-value of the chi-square statistic with 2 dof; reject only at
+    # the 1e-3 level (loose: MAP+Laplace is approximate)
+    p = scipy.stats.chi2(2).sf(q)
+    assert p > 1e-3, (q, p, est, np.sqrt(np.diag(cov)))
+
+
+@tryagain
+def test_residuals_normalized(rng):
+    """Posterior predictive standardized residuals roughly N(0, 1)."""
+    fit = make_fit(rng)
+    given, gcov = fit.data
+    gp = fit.gp()
+    y = np.asarray(given['y'])
+    u = gp.predfromdata(given, 'f')
+    sd = np.sqrt(np.asarray(u.sdev) ** 2 + 0.05 ** 2)
+    z = (y - np.asarray(u.mean)) / sd
+    # mean ~ 0, scale ~ 1 within generous tolerance
+    assert abs(z.mean()) < 0.5
+    assert 0.4 < z.std() < 2.0

@@ -171,3 +171,45 @@ class TestFitCheckpoint:
             float(state['p']['scale'].sdev), float(fit.p['scale'].sdev),
             rtol=1e-6,
         )
+
+
+class TestTaylorAndSignature:
+
+    def test_taylor_exp(self):
+        from lsqfitgp_tpu.special import taylor
+        # exp series: c_k = 1/k!
+        import scipy.special as sps
+
+        def coefgen(start, end):
+            k = np.arange(start, end)
+            return jnp.asarray(1 / sps.factorial(k))
+
+        x = jnp.asarray(0.7)
+        v = float(taylor(coefgen, (), 0, 25, x))
+        np.testing.assert_allclose(v, np.exp(0.7), rtol=1e-12)
+        g = float(jax.grad(lambda x: taylor(coefgen, (), 0, 25, x))(x))
+        np.testing.assert_allclose(g, np.exp(0.7), rtol=1e-10)
+
+    def test_signature(self):
+        from lsqfitgp_tpu._signature import Signature
+        sig = Signature('(n),(n,m)->(m)')
+        assert sig.nin == 2 and sig.nout == 1
+        sizes, out = sig.eval((5,), (5, 3))
+        assert sizes == {'n': 5, 'm': 3}
+        assert out == ((3,),)
+        with pytest.raises(ValueError):
+            sig.eval((5,), (4, 3))
+
+    def test_distribution_with_signature(self):
+        from lsqfitgp_tpu import copula
+        from jax.scipy import special as jspecial
+
+        # dirichlet-like custom distribution via signature
+        def softmax_normal(x, scale):
+            return jax.nn.softmax(x * scale)
+
+        D = copula.distribution(softmax_normal, signature='(n),(n)->(n)')
+        d = D(jnp.asarray([1.0, 1.0, 1.0]))
+        assert d.in_size == 3
+        out = np.asarray(d.partial_invfcn(jnp.asarray([0.1, -0.2, 0.4])))
+        np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-12)
