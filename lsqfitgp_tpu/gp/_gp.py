@@ -498,14 +498,31 @@ class GP:
     def _checkpos(self, K):
         if not self._checks['pos']:
             return
+
         def check():
-            eigs = jnp.linalg.eigvalsh(K)
-            mx = jnp.max(jnp.abs(eigs))
+            n = K.shape[0]
             eps = jnp.finfo(K.dtype).eps
-            bound = -len(K) * eps * mx * self._checks['posepsfac'] * 64
-            assert jnp.min(eigs) >= bound, \
+            if n <= 512:
+                eigs = jnp.linalg.eigvalsh(K)
+                mineig = jnp.min(eigs)
+                mx = jnp.max(jnp.abs(eigs))
+            else:
+                # large n: LOBPCG extremal eigenvalue estimate, the
+                # reference's approach (reference _elements.py:651-668)
+                from jax.experimental.sparse.linalg import lobpcg_standard
+                mx = jnp.max(jnp.sum(jnp.abs(K), axis=1))  # Gershgorin
+                X = jnp.sin(
+                    jnp.arange(n, dtype=K.dtype)[:, None]
+                    * (1.0 + jnp.arange(8, dtype=K.dtype))[None, :]
+                )
+                shifted = mx * jnp.eye(n, dtype=K.dtype) - K
+                w, _, _ = lobpcg_standard(shifted, X, m=32)
+                mineig = mx - jnp.max(w)
+            bound = -K.shape[0] * eps * mx * self._checks['posepsfac'] * 64
+            assert mineig >= bound, \
                 f'covariance matrix not positive definite ' \
-                f'(min eig {jnp.min(eigs):.3g} < {bound:.3g})'
+                f'(min eig {mineig:.3g} < {bound:.3g})'
+
         _jaxutil.skipifabstract(check)
 
     # -- solvers ---------------------------------------------------------------

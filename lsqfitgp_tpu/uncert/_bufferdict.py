@@ -165,6 +165,26 @@ class BufferDict:
     def flatten(self):
         return self._buf
 
+    def has_dictkey(self, key):
+        """Whether key is stored or reachable via a transformation."""
+        return key in self
+
+    def pop(self, key):
+        """Return a new BufferDict without ``key`` and the removed value
+        (BufferDict is immutable: unlike gvar's, this does not mutate)."""
+        if key not in self._slices:
+            raise KeyError(key)
+        items = {k: self[k] for k in self._keys if k != key}
+        return BufferDict(items)
+
+    def update(self, other):
+        """Return a new BufferDict with ``other``'s entries merged in."""
+        items = {k: self[k] for k in self._keys}
+        for k, v in (other.items() if hasattr(other, 'items')
+                     else dict(other).items()):
+            items[k] = v
+        return BufferDict(items)
+
     def replace_buf(self, buf):
         """New BufferDict with the same layout and a different buffer."""
         return BufferDict(
