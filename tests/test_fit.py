@@ -137,3 +137,14 @@ def test_raniter(rng, key):
     batch = sample(mean, cov, key=key, shape=500)
     assert batch['a'].shape == (500, 3)
     np.testing.assert_allclose(np.asarray(batch['b']).std(0), 0.5, atol=0.1)
+
+
+def test_fit_optax_optimizer(rng):
+    x, y = make_data(rng, n=30, scale=1.5)
+    hp = {'log(scale)': (0.0, 1.0)}
+    gpf = gpfactory_maker(x)
+    f1 = empbayes_fit(hp, gpf, {'y': y})
+    f2 = empbayes_fit(hp, gpf, {'y': y}, optimizer='optax', raises=False)
+    np.testing.assert_allclose(
+        float(f1.p['scale'].mean), float(f2.p['scale'].mean), rtol=1e-4
+    )
