@@ -146,8 +146,11 @@ class empbayes_fit:
         the whole fit is one XLA program (method='gradient' only).
     initial : 'priormean' or array
         Starting point (whitened space starts at 0 for 'priormean').
-    covariance : {'auto', 'fisher', 'minhess', 'none'}
-        Posterior covariance estimator.
+    covariance : {'auto', 'fisher', 'hess', 'minhess', 'none'}
+        Posterior covariance estimator: expected Fisher information via
+        the explicit decomposition formula ('fisher', guaranteed PSD),
+        AD Hessian of the objective ('hess'), the minimizer's inverse
+        Hessian estimate ('minhess'), or zero ('none').
     fix : dict, optional
         Map key -> bool (or array of bool) freezing hyperparameters at
         their initial values.
@@ -384,11 +387,38 @@ class empbayes_fit:
 
         # posterior covariance in whitened space
         if covariance == 'auto':
-            covariance = 'fisher' if method == 'fisher' or hess_inv is None \
+            covariance = 'hess' if method == 'fisher' or hess_inv is None \
                 else 'minhess'
-        if covariance == 'fisher':
+        if covariance == 'hess':
+            # observed information: AD hessian of the objective
             fisher_w = self._make_fisher(nll, fixmask)
             F = fisher_w(wmin)
+            cov_w = Chol(F).ginv()
+        elif covariance == 'fisher':
+            # expected information via the explicit decomposition formula
+            # tr(K⁻¹ dK_i K⁻¹ dK_j)/2 + dr_i' K⁻¹ dr_j  (+ unit prior),
+            # the reference's approach (reference _fit.py:711-743 with
+            # _decomp.py:441-586); guaranteed PSD unlike the AD hessian
+            def make_Kr(w):
+                hp = make_hp(w)
+                if data_callable:
+                    d = given(hp, **gpfactorykw)
+                    g, gcov = (d if isinstance(d, tuple) else (d, None))
+                else:
+                    g, gcov = given, givencov
+                gp = gpfactory(hp, **gpfactorykw)
+                dec, r = gp._prior_decomp(g, gcov, **mlkw)
+                return dec.matrix(), r
+
+            K0, r0 = make_Kr(wmin)
+            dK, dr = jax.jacfwd(make_Kr)(wmin)   # (n,n,P), (n,P)
+            Flik = Chol(K0).fisher(
+                jnp.moveaxis(dK, -1, 0), dr.T
+            )
+            F = Flik + jnp.eye(nparam)           # standard-normal prior
+            eye = jnp.eye(nparam)
+            mask2d = fixmask[:, None] | fixmask[None, :]
+            F = jnp.where(mask2d, eye, F)
             cov_w = Chol(F).ginv()
         elif covariance == 'minhess':
             if hess_inv is None:

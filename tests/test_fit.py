@@ -148,3 +148,16 @@ def test_fit_optax_optimizer(rng):
     np.testing.assert_allclose(
         float(f1.p['scale'].mean), float(f2.p['scale'].mean), rtol=1e-4
     )
+
+
+def test_fit_expected_fisher(rng):
+    x, y = make_data(rng, n=25, scale=1.5)
+    gpf = gpfactory_maker(x)
+    hp = {'log(scale)': (0.0, 1.0)}
+    f_h = empbayes_fit(hp, gpf, {'y': y}, covariance='hess')
+    f_f = empbayes_fit(hp, gpf, {'y': y}, covariance='fisher')
+    sh = float(f_h.p['scale'].sdev)
+    sf = float(f_f.p['scale'].sdev)
+    assert sf > 0 and sh > 0
+    # same order of magnitude (they estimate the same curvature)
+    assert 0.3 < sf / sh < 3.0
