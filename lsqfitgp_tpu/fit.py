@@ -256,6 +256,10 @@ class empbayes_fit:
             p0 = jnp.asarray(initial)
             w0 = pdec.pinv_correlate(p0 - pmean_prior)
 
+        if optimizer not in ('scipy', 'jax', 'optax'):
+            raise KeyError(f'unknown optimizer {optimizer!r}, must be '
+                           "'scipy', 'jax' or 'optax'")
+
         log.log(f'empbayes_fit: {nparam} hyperparameters, '
                 f'method={method!r}, optimizer={optimizer!r}', 1)
 
@@ -319,7 +323,14 @@ class empbayes_fit:
                 jax.grad(nll)(wmin) if not jit else jax.jit(
                     jax.grad(nll))(wmin)
             ))
-            success = gnorm < 1e-3 or nit < maxiter
+            vmin = float(nll_c(wmin))
+            # success requires an actually-small recomputed gradient at the
+            # final point; an early exit alone is not evidence of
+            # convergence (the linesearch can stall on a diverged run)
+            success = (
+                numpy.isfinite(vmin) and numpy.isfinite(gnorm)
+                and gnorm <= max(1e-3, 10 * tol)
+            )
             self.minresult = dict(x=wmin, nit=nit, gnorm=gnorm,
                                   success=success)
             res = self.minresult
@@ -481,27 +492,31 @@ class empbayes_fit:
 
     def save(self, path):
         """Persist the fit state (layout, posterior mean/cov, whitened
-        minimum) to an .npz file."""
+        minimum) to an .npz file.  The layout is stored as a JSON string
+        (no object arrays, no pickling)."""
+        import json
+        layout = json.dumps({
+            'keys': list(self.prior.keys()),
+            'shapes': [list(self.prior._slices[k][1])
+                       for k in self.prior.keys()],
+        })
         numpy.savez(
             path,
-            keys=numpy.asarray(self.prior.keys(), object),
-            shapes=numpy.asarray(
-                [list(self.prior._slices[k][1]) for k in self.prior.keys()],
-                object,
-            ),
+            layout=numpy.asarray(layout),
             pmean=numpy.asarray(self.pmean),
             pcov=numpy.asarray(self.pcov),
             w=numpy.asarray(self.w),
-            allow_pickle=True,
         )
 
     @staticmethod
     def load(path):
         """Load a saved fit state: returns a dict with 'p' (BufferDict of
         UArray posterior), 'pmean', 'pcov', 'w'."""
-        dat = numpy.load(path, allow_pickle=True)
-        keys = list(dat['keys'])
-        shapes = [tuple(s) for s in dat['shapes']]
+        import json
+        dat = numpy.load(path)
+        layout = json.loads(str(dat['layout']))
+        keys = list(layout['keys'])
+        shapes = [tuple(s) for s in layout['shapes']]
         pmean = jnp.asarray(dat['pmean'])
         pcov = jnp.asarray(dat['pcov'])
         u = from_cov(pmean, pcov)

@@ -110,10 +110,15 @@ class GP:
         new = object.__new__(GP)
         new._procs = dict(self._procs)
         new._elements = dict(self._elements)
-        # caches are shared: keys are never redefined, so entries stay valid
-        new._kernel_cache = self._kernel_cache
-        new._covblock_cache = self._covblock_cache
-        new._decomp_cache = self._decomp_cache
+        # Caches are COPIED, not shared.  Within one lineage keys are never
+        # redefined, so inherited entries stay valid; but two sibling clones
+        # of a common ancestor may define the *same* key differently, so a
+        # shared dict would let one sibling read the other's blocks
+        # (silently wrong covariances).  Each clone owns its dict; later
+        # memoization on the parent is simply not visible to earlier clones.
+        new._kernel_cache = dict(self._kernel_cache)
+        new._covblock_cache = dict(self._covblock_cache)
+        new._decomp_cache = dict(self._decomp_cache)
         new._solverkw = self._solverkw
         new._solver = self._solver
         new._checks = self._checks

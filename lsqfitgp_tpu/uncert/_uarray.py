@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import itertools
 
+import numpy
+
 import jax
 from jax import numpy as jnp
 from jax import tree_util
@@ -95,9 +97,44 @@ class UArray:
     # -- indexing / reshaping ---------------------------------------------
 
     def __getitem__(self, key):
+        # The Jacobians carry an extra trailing primary-block axis; the
+        # caller's key addresses only the mean's axes, so it must be
+        # normalized (Ellipsis expanded, missing trailing axes filled with
+        # full slices) before a full slice for the block axis is appended.
+        # Otherwise e.g. ``u[..., 0]`` would silently index into the block
+        # axis of J and corrupt the propagated uncertainty.
+        jkey = self._jac_key(key)
         return UArray(
-            self.mean[key], {k: J[key] for k, J in self.jac.items()}
+            self.mean[key], {k: J[jkey] for k, J in self.jac.items()}
         )
+
+    def _jac_key(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        nell = sum(1 for k in key if k is Ellipsis)
+        if nell > 1:
+            raise IndexError('an index can only have a single ellipsis')
+        consumed = 0
+        for k in key:
+            if k is None or k is Ellipsis:
+                continue
+            if hasattr(k, 'dtype') and getattr(k, 'dtype', None) is not None \
+                    and numpy.issubdtype(k.dtype, numpy.bool_):
+                consumed += k.ndim
+            else:
+                consumed += 1
+        if consumed > self.mean.ndim:
+            raise IndexError(
+                f'too many indices: array is {self.mean.ndim}-d, '
+                f'index consumes {consumed} axes'
+            )
+        fill = (slice(None),) * (self.mean.ndim - consumed)
+        if nell:
+            i = key.index(Ellipsis)
+            expanded = key[:i] + fill + key[i + 1:]
+        else:
+            expanded = key + fill
+        return expanded + (slice(None),)
 
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):

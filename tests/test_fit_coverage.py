@@ -64,3 +64,34 @@ def test_residuals_normalized(rng):
     # mean ~ 0, scale ~ 1 within generous tolerance
     assert abs(z.mean()) < 0.5
     assert 0.4 < z.std() < 2.0
+
+
+def test_save_load_roundtrip(tmp_path):
+    """Checkpoint/resume: no object arrays, no pickling in the .npz."""
+    import zipfile
+    import jax.numpy as jnp
+    import lsqfitgp_tpu as lgp
+
+    x = jnp.linspace(0, 1, 10)
+    y = jnp.asarray(np.sin(3 * np.linspace(0, 1, 10)))
+
+    def factory(p):
+        gp = lgp.GP(lgp.ExpQuad(scale=p['scale']))
+        gp = gp.addx(x, 'f').addcov(0.01 * jnp.eye(10), 'e')
+        return gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'd',
+                               checklin=False)
+
+    fit = lgp.empbayes_fit({'log(scale)': (0.0, 1.0)}, factory, {'d': y})
+    path = tmp_path / 'fit.npz'
+    fit.save(path)
+    # the archive must load fine with pickling disabled
+    dat = np.load(path, allow_pickle=False)
+    assert 'layout' in dat and 'allow_pickle' not in dat.files
+    state = lgp.empbayes_fit.load(path)
+    np.testing.assert_allclose(np.asarray(state['pmean']),
+                               np.asarray(fit.pmean), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(state['pcov']),
+                               np.asarray(fit.pcov), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(state['p']['log(scale)'].mean),
+        np.asarray(fit.p['log(scale)'].mean), rtol=1e-12)

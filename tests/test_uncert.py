@@ -94,3 +94,53 @@ def test_matmul_forms(rng):
     )
     np.testing.assert_allclose(float((u @ v).var), v @ v, rtol=1e-8)
     np.testing.assert_allclose(float((v @ u).var), v @ v, rtol=1e-8)
+
+
+def test_getitem_trailing_axis(rng):
+    # regression: keys addressing trailing axes must not leak into the
+    # Jacobian primary-block axis
+    from lsqfitgp_tpu import uncert
+    import jax.numpy as jnp
+    mean = jnp.asarray(rng.standard_normal((3, 4)))
+    cov_flat = rng.standard_normal((12, 24))
+    cov = jnp.asarray(cov_flat @ cov_flat.T)
+    u = uncert.from_cov(mean.ravel(), cov).reshape(3, 4)
+    full_var = np.asarray(u.var)
+
+    v = u[..., 0]
+    assert v.shape == (3,)
+    np.testing.assert_allclose(np.asarray(v.var), full_var[:, 0],
+                                  rtol=1e-10)
+
+    v2 = u[1, 2]
+    assert v2.shape == ()
+    np.testing.assert_allclose(np.asarray(v2.var), full_var[1, 2],
+                                  rtol=1e-10)
+
+    v3 = u[:, 1]
+    np.testing.assert_allclose(np.asarray(v3.var), full_var[:, 1],
+                                  rtol=1e-10)
+
+    v4 = u[..., 1:3]
+    assert v4.shape == (3, 2)
+    np.testing.assert_allclose(np.asarray(v4.var), full_var[:, 1:3],
+                                  rtol=1e-10)
+
+    # None (newaxis) insertion
+    v5 = u[None, ..., 0]
+    assert v5.shape == (1, 3)
+
+    # boolean mask over the leading axis
+    mask = np.array([True, False, True])
+    v6 = u[mask]
+    assert v6.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(v6.var), full_var[mask],
+                                  rtol=1e-10)
+
+    # over-long key must raise
+    try:
+        u[0, 0, 0]
+    except IndexError:
+        pass
+    else:
+        raise AssertionError('over-long key accepted')
