@@ -46,10 +46,12 @@ def pipeline_flops(n, nrhs=1):
 def run_pipeline(n, dtype, repeats=2, inner=8):
     """Time the Gram assembly and the Cholesky+solve density separately.
 
-    Each measured quantity runs ``inner`` chained iterations inside one
-    jitted ``lax.scan`` (inputs perturbed per step so nothing folds
-    away), then materializes one scalar on the host — this amortizes the
-    remote-tunnel sync latency (~30 ms) that would otherwise dominate.
+    Each measured quantity runs chained iterations inside one jitted
+    ``lax.scan`` (inputs perturbed per step so nothing folds away), then
+    materializes one scalar on the host.  The per-iteration time is the
+    *difference* between an ``inner``- and a ``4``-iteration loop divided
+    by ``inner - 4``, which cancels the per-call remote-tunnel sync
+    latency (~28 ms measured) exactly instead of merely amortizing it.
     """
     import jax
     import jax.numpy as jnp
@@ -70,38 +72,44 @@ def run_pipeline(n, dtype, repeats=2, inner=8):
     def chol_solve(K, y):
         return Chol(K).minus_log_normal_density(y)
 
-    @jax.jit
-    def gram_loop(x):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def gram_loop(x, length):
         def body(c, _):
             K = gram(x + c * jnp.asarray(1e-20, dtype))
             return jnp.sum(K[:1, :1]) * jnp.asarray(1e-30, dtype), None
-        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=inner)
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)
         return c
 
     K0 = jax.jit(gram)(x)
 
-    @jax.jit
-    def chol_loop(K, y):
+    @functools.partial(jax.jit, static_argnums=2)
+    def chol_loop(K, y, length):
         def body(c, _):
             v = chol_solve(K + c * jnp.asarray(1e-30, dtype), y)
             return v * jnp.asarray(1e-30, dtype), None
-        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=inner)
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)
         return c
 
+    base = 4
     t0 = time.perf_counter()
-    float(gram_loop(x))
+    float(gram_loop(x, inner)); float(gram_loop(x, base))
     _log(f'[bench] gram compile n={n}: {time.perf_counter()-t0:.1f}s')
     t0 = time.perf_counter()
-    out = float(chol_loop(K0, y))
+    out = float(chol_loop(K0, y, inner)); float(chol_loop(K0, y, base))
     _log(f'[bench] chol compile n={n}: {time.perf_counter()-t0:.1f}s')
     assert numpy.isfinite(out)
 
-    t_gram = min(
-        _timed(lambda: float(gram_loop(x))) for _ in range(repeats)
-    ) / inner
-    t_chol = min(
-        _timed(lambda: float(chol_loop(K0, y))) for _ in range(repeats)
-    ) / inner
+    def per_iter(loop, *args):
+        tb = min(_timed(lambda: float(loop(*args, base)))
+                 for _ in range(repeats))
+        ti = min(_timed(lambda: float(loop(*args, inner)))
+                 for _ in range(repeats))
+        return max(ti - tb, 1e-9) / (inner - base)
+
+    t_gram = per_iter(gram_loop, x)
+    t_chol = per_iter(chol_loop, K0, y)
     return t_gram, t_chol
 
 
@@ -137,7 +145,7 @@ def main():
     backend = jax.default_backend()
     if backend == 'cpu':
         n = 4096  # CI/dev fallback
-    t_gram, t_chol = run_pipeline(n, jnp.float32)
+    t_gram, t_chol = run_pipeline(n, jnp.float32, inner=16)
     tflops = pipeline_flops(n) / t_chol / 1e12
 
     # reference-equivalent CPU/f64 baseline

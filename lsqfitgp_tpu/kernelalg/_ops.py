@@ -80,6 +80,58 @@ def _diff_argparser(deriv):
     return d if d else None
 
 
+def _deriv_targets(deriv):
+    """Flatten a Deriv into (field, order) derivation steps; ``field`` is
+    None for derivation w.r.t. a bare (non-structured) numeric input."""
+    if deriv.implicit:
+        return [(None, deriv.order)] if deriv.order else []
+    return [(dim, deriv[dim]) for dim in deriv]
+
+
+def _validate_diff_input(v, deriv, side):
+    if _util.is_structured(v):
+        missing = [dim for dim in deriv if dim not in v.fields]
+        if missing:
+            raise ValueError(
+                f'derivative along missing field {missing[0]!r} on {side} '
+                f'argument'
+            )
+        nested = [dim for dim in deriv if _util.is_structured(v[dim])]
+        if nested:
+            raise TypeError(
+                f'derivative along non-numeric field {nested[0]!r}'
+            )
+    elif not deriv.implicit:
+        raise ValueError(
+            f'derivative on named fields with non-structured array on '
+            f'{side} argument'
+        )
+    elif not jnp.issubdtype(v.dtype, jnp.number):
+        raise TypeError(f'derivative along non-numeric {side} argument')
+
+
+def _derive_along(core, side, field, order):
+    """One derivation step: d^order core / d (arg[side][field])^order,
+    elementwise.  The targeted leaf is pulled out, floated, and the input
+    rebuilt inside the differentiated closure, so steps compose freely
+    (mixed fields, both sides, any orders)."""
+
+    def stepped(x, y, **kw):
+        inp = (x, y)[side]
+        leaf = _asfloat(inp if field is None else inp[field])
+
+        def with_leaf(leaf):
+            v = leaf if field is None else _array.set_field(inp, field, leaf)
+            return core(v, y, **kw) if side == 0 else core(x, v, **kw)
+
+        g = with_leaf
+        for _ in range(order):
+            g = _jaxutil.elementwise_grad(g)
+        return g(leaf)
+
+    return stepped
+
+
 @functools.partial(CrossKernel.register_corelinop, argparser=_diff_argparser)
 def diff(core, xderiv, yderiv):
     r"""Derive the process: T(f)(x) = ∂ⁿf/∂xⁿ (x).
@@ -90,74 +142,16 @@ def diff(core, xderiv, yderiv):
     xderiv = _deriv.Deriv(xderiv)
     yderiv = _deriv.Deriv(yderiv)
 
-    # base function with the derived fields exposed as separate scalar
-    # arguments so elementwise_grad can target them
-    def f(x, y, *args, **kw):
-        i = -1
-        if not xderiv.implicit:
-            for i, dim in enumerate(xderiv):
-                x = _array.set_field(x, dim, args[i])
-        if not yderiv.implicit:
-            for j, dim in enumerate(yderiv):
-                y = _array.set_field(y, dim, args[1 + i + j])
-        return core(x, y, **kw)
-
-    i = -1
-    if xderiv.implicit:
-        for _ in range(xderiv.order):
-            f = _jaxutil.elementwise_grad(f, 0)
-    else:
-        for i, dim in enumerate(xderiv):
-            for _ in range(xderiv[dim]):
-                f = _jaxutil.elementwise_grad(f, 2 + i)
-
-    if yderiv.implicit:
-        for _ in range(yderiv.order):
-            f = _jaxutil.elementwise_grad(f, 1)
-    else:
-        for j, dim in enumerate(yderiv):
-            for _ in range(yderiv[dim]):
-                f = _jaxutil.elementwise_grad(f, 2 + 1 + i + j)
-
-    def check_arg(x, deriv, side):
-        if _util.is_structured(x):
-            for dim in deriv:
-                if dim not in x.fields:
-                    raise ValueError(
-                        f'derivative along missing field {dim!r} on {side} '
-                        f'argument'
-                    )
-                if _util.is_structured(x[dim]):
-                    raise TypeError(
-                        f'derivative along non-numeric field {dim!r}'
-                    )
-            return x
-        if not deriv.implicit:
-            raise ValueError(
-                f'derivative on named fields with non-structured array on '
-                f'{side} argument'
-            )
-        if not jnp.issubdtype(x.dtype, jnp.number):
-            raise TypeError(f'derivative along non-numeric {side} argument')
-        return x
+    derived = core
+    for field, order in _deriv_targets(xderiv):
+        derived = _derive_along(derived, 0, field, order)
+    for field, order in _deriv_targets(yderiv):
+        derived = _derive_along(derived, 1, field, order)
 
     def newcore(x, y, **kw):
-        x = check_arg(x, xderiv, 'left')
-        y = check_arg(y, yderiv, 'right')
-
-        args = []
-        if not xderiv.implicit:
-            for dim in xderiv:
-                args.append(_asfloat(x[dim]))
-        elif xderiv:
-            x = _asfloat(x)
-        if not yderiv.implicit:
-            for dim in yderiv:
-                args.append(_asfloat(y[dim]))
-        elif yderiv:
-            y = _asfloat(y)
-
-        return f(x, y, *args, **kw)
+        _validate_diff_input(x, xderiv, 'left')
+        _validate_diff_input(y, yderiv, 'right')
+        return derived(x, y, **kw)
 
     return newcore
 

@@ -2,5 +2,9 @@
 
 from ._pytree import AutoPyTree
 from ._decomp import Decomposition, Chol, solve_batched
+from ._blocked import (
+    chol_factor, cholesky_blocked, solve_lower, solve_lower_t,
+    diag_block_inverses,
+)
 from . import _toeplitz as toeplitz
 from . import _seqalg as seqalg

@@ -1,0 +1,334 @@
+"""Blocked right-looking Cholesky factorization and triangular solves,
+designed for the TPU MXU.
+
+Why this exists (measured on v5e, fp32, n=8192; see docs/perf.md):
+
+- ``lax.linalg.cholesky`` runs at ~14 TFLOP/s (a sequential XLA While
+  at fixed internal precision).
+- MXU matmuls at ``Precision.HIGH`` (bf16_3x passes, ~1e-6 relative
+  error — far below the ``n·eps``-scaled regularization Chol applies)
+  run at ~63 TFLOP/s.
+
+So the factorization is re-organized so ~all FLOPs are MXU matmuls:
+a right-looking panel algorithm over *column strips* (each strip holds
+only the lower trapezoid of one block column, so trailing updates touch
+exactly the lower triangle and the functional updates never copy the
+full matrix), with the small diagonal blocks factored by
+``lax.linalg.cholesky`` at a size where it is cheap (~12 us at 128) and
+their inverses assembled by block 2x2 inversion so panel solves become
+matmuls.  Measured ~28 TFLOP/s at n=8192 (~2x XLA chol, ~58% of the
+fp32-equivalent MXU peak).
+
+Reference semantics counterpart: ``src/lsqfitgp/_linalg/_decomp.py:376-439``
+(Chol); the blocked algorithm itself is the classic LAPACK/ScaLAPACK
+right-looking scheme re-expressed for XLA (static shapes, unrolled
+panels, functional buffers).
+
+Everything here is plain JAX (works on any backend and dtype; the
+``precision`` argument only affects TPU matmuls).  The factorization is
+exposed through :func:`cholesky`, a ``custom_jvp`` whose tangent rule
+``dL = L Phi(L^-1 dK L^-T)`` is linear in ``dK`` and built from
+transposable ops, so both forward- and reverse-mode AD work without
+saving the unrolled factorization graph.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy
+from jax import lax
+from jax import numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+__all__ = [
+    'chol_factor', 'cholesky_blocked', 'diag_block_inverses',
+    'solve_lower', 'solve_lower_t',
+]
+
+
+def _precision(precision):
+    if precision is None:
+        return lax.Precision.HIGH
+    if isinstance(precision, str):
+        return dict(
+            default=lax.Precision.DEFAULT,
+            high=lax.Precision.HIGH,
+            highest=lax.Precision.HIGHEST,
+        )[precision]
+    return precision
+
+
+_LIFT = 1024  # self-healing diagonal lift, in units of eps * matrix scale
+
+
+def _chol_lifted(D, bump):
+    """Cholesky of a block with self-healing diagonal lifting.
+
+    ``lax.linalg.cholesky`` returns NaNs when the block is (numerically)
+    indefinite — which with a tiny global regularization can happen to a
+    trailing block through accumulated roundoff.  Instead of paying a
+    large *global* eps up front (which at fp32 distorts well-posed
+    models: n*eps32 at n=1500 exceeds a 1% noise level ~9x and flips
+    marginal-likelihood gradients, measured), the block refactors itself
+    with a ``bump`` diagonal shift only when the first attempt failed.
+    ``bump`` must be sized by the *original* matrix scale (trailing
+    Schur complements of near-singular matrices have decayed row sums,
+    so a block-local scale is too small to heal accumulated cross-block
+    roundoff); ``bump is True`` derives it from this block (the
+    unblocked/global case).  The result is a factorization of K + dD
+    with dD a nonnegative diagonal supported only on the blocks that
+    actually needed it — the XLA-static analog of LAPACK's pivoted
+    perturbation strategies.  Cost: one extra cholesky of the same
+    block (~12 us at 128), branch-free.
+    """
+    L = lax.linalg.cholesky(D)
+    if bump is None:
+        return L
+    if bump is True:
+        eps = jnp.finfo(D.dtype).eps
+        bump = _LIFT * eps * jnp.max(jnp.sum(jnp.abs(D), axis=1))
+    bad = jnp.any(jnp.isnan(L))
+    D2 = D + jnp.where(bad, bump, 0) * jnp.eye(D.shape[0], dtype=D.dtype)
+    return jnp.where(bad, lax.linalg.cholesky(D2), L)
+
+
+def _factor_diag(D, b1, precision, bump=None):
+    """Cholesky + inverse of a small PSD diagonal block.
+
+    Recursive 2x2 block scheme: the base case (b1 x b1, default 128)
+    uses ``lax.linalg.cholesky`` (with self-healing lifting, see
+    ``_chol_lifted``) + ``solve_triangular`` (both cheap at this size);
+    larger blocks are assembled with MXU matmuls.  Returns (L, Linv),
+    both lower triangular.
+    """
+    b = D.shape[0]
+    if b <= b1:
+        L = _chol_lifted(D, bump)
+        Linv = solve_triangular(L, jnp.eye(b, dtype=D.dtype), lower=True)
+        return L, Linv
+    h = b // 2
+    L11, I11 = _factor_diag(D[:h, :h], b1, precision, bump)
+    P = jnp.dot(D[h:, :h], I11.T, precision=precision)
+    S = D[h:, h:] - jnp.dot(P, P.T, precision=precision)
+    L22, I22 = _factor_diag(S, b1, precision, bump)
+    Z = jnp.zeros((h, b - h), D.dtype)
+    L = jnp.block([[L11, Z], [P, L22]])
+    I21 = -jnp.dot(jnp.dot(I22, P, precision=precision), I11,
+                   precision=precision)
+    Linv = jnp.block([[I11, Z], [I21, I22]])
+    return L, Linv
+
+
+def _pad_spd(K, nb):
+    """Pad K to (nb, nb) with an identity tail (block-diagonal, so the
+    factor of the padded matrix is blockdiag(L, I))."""
+    n = K.shape[0]
+    if nb == n:
+        return K
+    p = nb - n
+    Z = jnp.zeros((n, p), K.dtype)
+    return jnp.block([[K, Z], [Z.T, jnp.eye(p, dtype=K.dtype)]])
+
+
+def _cholesky_impl(K, block, b1, precision, lift=True):
+    precision = _precision(precision)
+    n = K.shape[0]
+    nb = -(-n // block) * block
+    Kp = _pad_spd(K, nb)
+    nstrips = nb // block
+    # global matrix scale for the self-healing lift (see _chol_lifted)
+    bump = None
+    if lift:
+        bump = _LIFT * jnp.finfo(K.dtype).eps \
+            * jnp.max(jnp.sum(jnp.abs(K), axis=1))
+    # column strips: strips[j] holds rows j*block.. of block column j
+    strips = [
+        Kp[j * block:, j * block:(j + 1) * block] for j in range(nstrips)
+    ]
+    Dinvs = []
+    for k in range(nstrips):
+        S = strips[k]
+        Lkk, Dinv = _factor_diag(S[:block], b1, precision, bump)
+        Dinvs.append(Dinv)
+        panel = jnp.dot(S[block:], Dinv.T, precision=precision)
+        strips[k] = jnp.concatenate([Lkk, panel], axis=0) \
+            if panel.shape[0] else Lkk
+        for j in range(k + 1, nstrips):
+            off = (j - k - 1) * block
+            upd = jnp.dot(panel[off:], panel[off:off + block].T,
+                          precision=precision)
+            strips[j] = strips[j] - upd
+    # assemble the full clean lower factor
+    cols = []
+    for j, S in enumerate(strips):
+        top = jnp.zeros((j * block, block), K.dtype)
+        cols.append(jnp.concatenate([top, S], axis=0))
+    L = jnp.concatenate(cols, axis=1)
+    # the diagonal blocks from lax.linalg.cholesky are already lower
+    # triangular with exact zeros above, so no tril pass is needed
+    return L[:n, :n], jnp.stack(Dinvs)
+
+
+def diag_block_inverses(L, block):
+    """Inverses of the (block, block) diagonal blocks of lower-triangular
+    L, shape (ceil(n/block), block, block); the tail block is padded with
+    identity.  Used to turn the blocked substitutions into matmuls."""
+    n = L.shape[0]
+    nb = -(-n // block) * block
+    if nb != n:
+        L = _pad_spd(L, nb)  # identity tail keeps blocks invertible
+    nstrips = nb // block
+    D = jnp.stack([
+        L[j * block:(j + 1) * block, j * block:(j + 1) * block]
+        for j in range(nstrips)
+    ])
+    eye = jnp.eye(block, dtype=L.dtype)
+    return jax.vmap(
+        lambda Lb: solve_triangular(Lb, eye, lower=True)
+    )(D)
+
+
+def solve_lower(L, B, *, block=512, Dinv=None, precision=None):
+    """X = L^-1 B by blocked forward substitution (matmul-based).
+
+    ``L``: (n, n) lower triangular; ``B``: (n,) or (n, m).  All steps are
+    static-shape matmuls (at ``precision``, default HIGH on TPU), using
+    the diagonal-block inverses, so this runs at MXU rate instead of
+    XLA's sequential triangular-solve loop.  Linear in ``B`` and built
+    from transposable ops.
+    """
+    precision = _precision(precision)
+    n = L.shape[0]
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    if Dinv is None:
+        Dinv = diag_block_inverses(L, block)
+    nstrips = Dinv.shape[0]
+    nb = nstrips * block
+    if nb != n:
+        B = jnp.concatenate(
+            [B, jnp.zeros((nb - n, B.shape[1]), B.dtype)])
+        L = _pad_spd(L, nb)
+    xs = []
+    for k in range(nstrips):
+        s = k * block
+        rhs = B[s:s + block]
+        if k:
+            xtop = jnp.concatenate(xs, axis=0)
+            rhs = rhs - jnp.dot(L[s:s + block, :s], xtop,
+                                precision=precision)
+        xs.append(jnp.dot(Dinv[k], rhs, precision=precision))
+    X = jnp.concatenate(xs, axis=0)[:n]
+    return X[:, 0] if vec else X
+
+
+def solve_lower_t(L, B, *, block=512, Dinv=None, precision=None):
+    """X = L^-T B by blocked backward substitution (matmul-based)."""
+    precision = _precision(precision)
+    n = L.shape[0]
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    if Dinv is None:
+        Dinv = diag_block_inverses(L, block)
+    nstrips = Dinv.shape[0]
+    nb = nstrips * block
+    if nb != n:
+        B = jnp.concatenate(
+            [B, jnp.zeros((nb - n, B.shape[1]), B.dtype)])
+        L = _pad_spd(L, nb)
+    xs = [None] * nstrips
+    for k in reversed(range(nstrips)):
+        s = k * block
+        e = s + block
+        rhs = B[s:e]
+        if k + 1 < nstrips:
+            xbot = jnp.concatenate(xs[k + 1:], axis=0)
+            # rows below, this block column: L[e:, s:e]^T @ xbot
+            rhs = rhs - jnp.dot(L[e:, s:e].T, xbot, precision=precision)
+        xs[k] = jnp.dot(Dinv[k].T, rhs, precision=precision)
+    X = jnp.concatenate(xs, axis=0)[:n]
+    return X[:, 0] if vec else X
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+def chol_factor(K, block=512, b1=128, precision=None):
+    """(L, Dinv): lower Cholesky factor of PSD K plus the inverses of its
+    (block, block) diagonal blocks (byproducts of the factorization, used
+    to run the blocked substitutions at MXU rate).  K may be any size;
+    internally padded to a multiple of ``block`` (the returned Dinv keeps
+    the padded block count, matching what the solvers expect).
+
+    ``precision=None`` (the default) is adaptive: the factorization first
+    runs with HIGH-precision (bf16_3x, ~75 TFLOP/s on v5e) trailing
+    updates and *no* self-healing; if any non-finite value appears —
+    which is how a precision blow-up manifests on near-singular input,
+    since bf16_3x error amplifies as ~1e-5 x cond(K) through the
+    recursion — a ``lax.cond`` branch refactorizes at HIGHEST
+    (bf16_6x, f32-grade) with self-healing diagonal lifting enabled.
+    Well-posed problems pay only the fast path; checking Dinv for
+    finiteness is sound because the first non-finite value always
+    originates at a failed diagonal-block cholesky, which poisons that
+    block's inverse.  An explicit ``precision`` disables the fallback
+    (single pass at that precision, lifting enabled).
+    """
+    if precision is not None:
+        return _cholesky_impl(K, block, b1, precision, lift=True)
+    L1, D1 = _cholesky_impl(K, block, b1, 'high', lift=False)
+    ok = jnp.all(jnp.isfinite(D1))
+    return jax.lax.cond(
+        ok,
+        lambda _: (L1, D1),
+        lambda _: _cholesky_impl(K, block, b1, 'highest', lift=True),
+        None,
+    )
+
+
+@chol_factor.defjvp
+def _chol_factor_jvp(block, b1, precision, primals, tangents):
+    K, = primals
+    dK, = tangents
+    L, Dinv = chol_factor(K, block, b1, precision)
+    prec = _precision(precision)
+    kw = dict(block=block, Dinv=Dinv, precision=precision)
+    # dL = L Phi(L^-1 dK L^-T), Phi = tril with halved diagonal
+    # (differential of K = L L'; same rule as XLA's, computed with the
+    # blocked matmul solves).  Linear + transposable in dK, so reverse
+    # mode falls out by transposition.  dK is symmetrized first, which
+    # makes the transposed (reverse-mode) cotangent symmetric — the
+    # same convention as lax.linalg.cholesky's gradient.
+    dK = 0.5 * (dK + dK.T)
+    W = solve_lower(L, dK, **kw)
+    A = solve_lower(L, W.T, **kw).T
+    Phi = jnp.tril(A) - 0.5 * jnp.diag(jnp.diag(A))
+    dL = jnp.dot(L, Phi, precision=prec)
+    # dDinv_k = -Dinv_k dL_kk Dinv_k on each diagonal block
+    n = L.shape[0]
+    nstrips = Dinv.shape[0]
+    dLkk = []
+    for k in range(nstrips):
+        s = k * block
+        blk = dL[s:min(s + block, n), s:min(s + block, n)]
+        if blk.shape[0] < block:  # padded tail: dL of identity pad is 0
+            p = block - blk.shape[0]
+            blk = jnp.block([
+                [blk, jnp.zeros((blk.shape[0], p), blk.dtype)],
+                [jnp.zeros((p, blk.shape[0]), blk.dtype),
+                 jnp.zeros((p, p), blk.dtype)],
+            ])
+        dLkk.append(blk)
+    dLkk = jnp.stack(dLkk)
+    dDinv = -jnp.einsum(
+        'kab,kbc,kcd->kad', Dinv, dLkk, Dinv, precision=prec)
+    return (L, Dinv), (dL, dDinv)
+
+
+def cholesky_blocked(K, block=512, b1=128, precision=None):
+    """Lower-triangular Cholesky factor of PSD K via the blocked
+    right-looking MXU algorithm.  Drop-in for ``lax.linalg.cholesky``
+    on symmetric PSD input (any size; internally padded to a multiple
+    of ``block``)."""
+    return chol_factor(K, block, b1, precision)[0]

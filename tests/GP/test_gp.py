@@ -1,6 +1,7 @@
 """GP object behavior + posterior correctness vs dense-formula oracles
 (model: reference tests/GP/test_GP.py, test_pred.py)."""
 
+from util import lane_allclose
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,8 +44,8 @@ def test_predfromdata_raw(setup):
     gp = GP(ExpQuad(scale=1.3)).addx(x, 'a').addx(xs, 'b')
     mean, cov = gp.predfromdata({'a': y}, 'b', raw=True)
     wm, wc = dense_posterior(Kxx, Kxs, Kss, y)
-    np.testing.assert_allclose(np.asarray(mean), wm, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(cov), wc, rtol=1e-4, atol=1e-6)
+    lane_allclose(np.asarray(mean), wm, rtol=1e-4, atol=1e-6)
+    lane_allclose(np.asarray(cov), wc, rtol=1e-4, atol=1e-6)
 
 
 def test_predfromdata_uarray(setup):
@@ -52,8 +53,8 @@ def test_predfromdata_uarray(setup):
     gp = GP(ExpQuad(scale=1.3)).addx(x, 'a').addx(xs, 'b')
     u = gp.predfromdata({'a': y}, 'b')
     wm, wc = dense_posterior(Kxx, Kxs, Kss, y)
-    np.testing.assert_allclose(np.asarray(u.mean), wm, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(
+    lane_allclose(np.asarray(u.mean), wm, rtol=1e-4, atol=1e-6)
+    lane_allclose(
         np.asarray(u.cov()), wc, rtol=1e-4, atol=1e-6
     )
 
@@ -66,12 +67,12 @@ def test_predfromdata_noisy(setup, rng):
     yu = uncert.from_cov(y, noise)
     u = gp.predfromdata({'a': yu}, 'b')
     wm, wc = dense_posterior(Kxx, Kxs, Kss, y, noise)
-    np.testing.assert_allclose(np.asarray(u.mean), wm, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(u.cov()), wc, rtol=1e-4, atol=1e-6)
+    lane_allclose(np.asarray(u.mean), wm, rtol=1e-4, atol=1e-6)
+    lane_allclose(np.asarray(u.cov()), wc, rtol=1e-4, atol=1e-6)
     # explicit givencov path must agree
     mean2, cov2 = gp.predfromdata({'a': y}, 'b', noise, raw=True)
-    np.testing.assert_allclose(np.asarray(mean2), wm, rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(cov2), wc, rtol=1e-4, atol=1e-6)
+    lane_allclose(np.asarray(mean2), wm, rtol=1e-4, atol=1e-6)
+    lane_allclose(np.asarray(cov2), wc, rtol=1e-4, atol=1e-6)
 
 
 def test_keepcorr_correlates_with_data(setup):
@@ -84,7 +85,7 @@ def test_keepcorr_correlates_with_data(setup):
     A = np.linalg.solve(Kxx + noise, Kxs)
     want = A.T @ noise
     got = np.asarray(uncert.evalcov(u, yu))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+    lane_allclose(got, want, rtol=1e-6, atol=1e-9)
 
 
 def test_predfromfit(setup):
@@ -100,8 +101,8 @@ def test_predfromfit(setup):
     A = np.linalg.solve(Kxx + reg_eps(Kxx) * np.eye(len(Kxx)), Kxs)
     wm = A.T @ y
     wc = Kss - Kxs.T @ A + A.T @ fitcov @ A
-    np.testing.assert_allclose(np.asarray(mean), wm, rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(cov), wc, rtol=1e-4, atol=1e-7)
+    lane_allclose(np.asarray(mean), wm, rtol=1e-5, atol=1e-7)
+    lane_allclose(np.asarray(cov), wc, rtol=1e-4, atol=1e-7)
 
 
 def test_marginal_likelihood(setup):
@@ -114,17 +115,17 @@ def test_marginal_likelihood(setup):
         y @ np.linalg.solve(C, y) + np.linalg.slogdet(C)[1]
         + len(x) * np.log(2 * np.pi)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    lane_allclose(got, want, rtol=1e-6)
 
 
 def test_prior(setup):
     x, xs, k, Kxx, Kxs, Kss, y = setup
     gp = GP(ExpQuad(scale=1.3)).addx(x, 'a').addx(xs, 'b')
     pr = gp.prior()
-    np.testing.assert_allclose(np.asarray(pr['a'].mean), 0, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(pr['a'].cov()), Kxx,
+    lane_allclose(np.asarray(pr['a'].mean), 0, atol=1e-12)
+    lane_allclose(np.asarray(pr['a'].cov()), Kxx,
                                rtol=1e-6, atol=1e-8)
-    np.testing.assert_allclose(
+    lane_allclose(
         np.asarray(uncert.evalcov(pr['a'], pr['b'])), Kxs,
         rtol=1e-6, atol=1e-8,
     )
@@ -136,13 +137,13 @@ def test_addlintransf(setup):
     gp = gp.addlintransf(lambda a: jnp.cumsum(a), ['a'], 'cum')
     pr = gp.prior(['a', 'cum'])
     S = np.tril(np.ones((len(x), len(x))))
-    np.testing.assert_allclose(
+    lane_allclose(
         np.asarray(pr['cum'].cov()), S @ Kxx @ S.T, rtol=1e-6, atol=1e-7
     )
     # posterior through the transformation
     u = gp.predfromdata({'a': y}, 'cum')
     wm, _ = dense_posterior(Kxx, Kxx @ S.T, S @ Kxx @ S.T, y)
-    np.testing.assert_allclose(np.asarray(u.mean), wm, rtol=1e-4, atol=1e-6)
+    lane_allclose(np.asarray(u.mean), wm, rtol=1e-4, atol=1e-6)
 
 
 def test_addtransf(setup, rng):
@@ -150,7 +151,7 @@ def test_addtransf(setup, rng):
     T = rng.standard_normal((7, len(x)))
     gp = GP(ExpQuad(scale=1.3)).addx(x, 'a').addtransf({'a': T}, 't')
     pr = gp.prior('t')
-    np.testing.assert_allclose(
+    lane_allclose(
         np.asarray(pr.cov()), T @ Kxx @ T.T, rtol=1e-6, atol=1e-7
     )
 
@@ -159,7 +160,7 @@ def test_addcov(rng):
     C = np.eye(4) * 2.0
     gp = GP().addcov(C, 'e')
     pr = gp.prior('e')
-    np.testing.assert_allclose(np.asarray(pr.cov()), C, atol=1e-10)
+    lane_allclose(np.asarray(pr.cov()), C, atol=1e-10)
 
 
 def test_error_term_model(setup, rng):
@@ -174,7 +175,7 @@ def test_error_term_model(setup, rng):
         y @ np.linalg.solve(C, y) + np.linalg.slogdet(C)[1]
         + n * np.log(2 * np.pi)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    lane_allclose(got, want, rtol=1e-6)
 
 
 def test_multiprocess_independent(rng):
@@ -184,7 +185,7 @@ def test_multiprocess_independent(rng):
     gp = gp.defproc('p2', Expon())
     gp = gp.addx(x, 'a', proc='p1').addx(x, 'b', proc='p2')
     pr = gp.prior(['a', 'b'])
-    np.testing.assert_allclose(
+    lane_allclose(
         np.asarray(uncert.evalcov(pr['a'], pr['b'])), 0, atol=1e-12
     )
 
@@ -199,7 +200,7 @@ def test_deftransf_sum_of_processes(rng):
     K = np.asarray(gp.prior('a').cov())
     want = 4 * np.asarray(k1(x[:, None], x[None, :])) + \
         np.asarray(k2(x[:, None], x[None, :]))
-    np.testing.assert_allclose(K, want, rtol=1e-6, atol=1e-8)
+    lane_allclose(K, want, rtol=1e-6, atol=1e-8)
 
 
 def test_defderiv(rng):
@@ -211,7 +212,7 @@ def test_defderiv(rng):
     K = np.asarray(uncert.evalcov(pr['f'], pr['d']))
     d = x[:, None] - x[None, :]
     # cov(f(x), f'(y)) = d/dy exp(-d²/2) = d * exp(-d²/2)
-    np.testing.assert_allclose(K, d * np.exp(-0.5 * d**2), rtol=1e-6,
+    lane_allclose(K, d * np.exp(-0.5 * d**2), rtol=1e-6,
                                atol=1e-8)
 
 
@@ -222,7 +223,7 @@ def test_addx_deriv_equivalent_to_defderiv(rng):
         .addx(x, 'd', proc='df')
     K1 = np.asarray(gp1.prior('d').cov())
     K2 = np.asarray(gp2.prior('d').cov())
-    np.testing.assert_allclose(K1, K2, rtol=1e-7, atol=1e-10)
+    lane_allclose(K1, K2, rtol=1e-7, atol=1e-10)
 
 
 def test_defxtransf_defrescale(rng):
@@ -233,10 +234,10 @@ def test_defxtransf_defrescale(rng):
     gp = gp.addx(x, 'a', proc='sq').addx(x, 'b', proc='rs')
     Ka = np.asarray(gp.prior('a').cov())
     d2 = (x[:, None]**2 - x[None, :]**2) ** 2
-    np.testing.assert_allclose(Ka, np.exp(-0.5 * d2), rtol=1e-6, atol=1e-9)
+    lane_allclose(Ka, np.exp(-0.5 * d2), rtol=1e-6, atol=1e-9)
     Kb = np.asarray(gp.prior('b').cov())
     d = x[:, None] - x[None, :]
-    np.testing.assert_allclose(
+    lane_allclose(
         Kb, np.outer(x, x) * np.exp(-0.5 * d**2), rtol=1e-6, atol=1e-9
     )
 
@@ -265,7 +266,7 @@ def test_jit_marginal_likelihood(setup):
     v1 = float(ml(1.3, jnp.asarray(y)))
     gp = GP(ExpQuad(scale=1.3)).addx(x, 'a')
     v2 = float(gp.marginal_likelihood({'a': y}))
-    np.testing.assert_allclose(v1, v2, rtol=1e-7)
+    lane_allclose(v1, v2, rtol=1e-7)
     # gradient through hyperparameters
     g = jax.grad(lambda s: ml(s, jnp.asarray(y)))(1.3)
     assert np.isfinite(float(g))

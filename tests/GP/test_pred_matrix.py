@@ -1,6 +1,7 @@
 """All `pred` paths agree (model: reference tests/GP/test_pred.py:66 —
 fromdata/fromfit × raw/keepcorr × gvar/separate-cov)."""
 
+from util import lane_allclose
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -33,13 +34,13 @@ def test_raw_vs_uarray_vs_keepcorr(setup, fromdata):
     yu = uncert.from_cov(y, noise)
     u3 = gp.pred({'a': yu}, 'b', fromdata=fromdata)
 
-    np.testing.assert_allclose(np.asarray(u2.mean), np.asarray(mean1),
+    lane_allclose(np.asarray(u2.mean), np.asarray(mean1),
                                rtol=1e-8, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(u3.mean), np.asarray(mean1),
+    lane_allclose(np.asarray(u3.mean), np.asarray(mean1),
                                rtol=1e-8, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(u2.cov()), np.asarray(cov1),
+    lane_allclose(np.asarray(u2.cov()), np.asarray(cov1),
                                rtol=1e-6, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(u3.cov()), np.asarray(cov1),
+    lane_allclose(np.asarray(u3.cov()), np.asarray(cov1),
                                rtol=1e-6, atol=1e-9)
 
 
@@ -51,14 +52,14 @@ def test_multikey_output_correlations(setup):
     assert out['b'].shape == (8,)
     # joint covariance consistent with single-key calls
     ub = gp.predfromdata({'a': y}, 'b', noise)
-    np.testing.assert_allclose(
+    lane_allclose(
         np.asarray(out['b'].cov()), np.asarray(ub.cov()),
         rtol=1e-7, atol=1e-10,
     )
     # cross covariance symmetric consistency
     Cab = np.asarray(uncert.evalcov(out['a'], out['b']))
     Cba = np.asarray(uncert.evalcov(out['b'], out['a']))
-    np.testing.assert_allclose(Cab, Cba.T, rtol=1e-8, atol=1e-12)
+    lane_allclose(Cab, Cba.T, rtol=1e-8, atol=1e-12)
 
 
 def test_pred_default_outkeys(setup):
@@ -72,4 +73,5 @@ def test_mlkw_epsrel(setup):
     dec0, r = gp._prior_decomp({'a': y}, noise)
     dec1, _ = gp._prior_decomp({'a': y}, noise, epsrel=0.1)
     assert float(dec1.eps) > float(dec0.eps)
-    np.testing.assert_array_equal(np.asarray(r), y)
+    # r is in the lane's default float; compare after the same cast
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(jnp.asarray(y)))

@@ -5,6 +5,8 @@ import pytest
 
 from lsqfitgp_tpu.linalg import Chol
 
+from util import tol, is_f32
+
 
 def random_psd(rng, n, rank=None):
     rank = n if rank is None else rank
@@ -20,20 +22,27 @@ def n(request):
 def test_solve_matches_dense(rng, n):
     K = random_psd(rng, n)
     d = Chol(K)
+    # the solver's contract is about the regularized matrix it factored;
+    # in fp32 the eps regularization is large enough that comparing
+    # against the unregularized K measures conditioning, not the solver
+    Kr = np.asarray(d.matrix(), 'f8')
     b = rng.standard_normal(n)
     x = d.ginv_linear(b)
-    np.testing.assert_allclose(np.asarray(K @ x), b, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Kr @ np.asarray(x, 'f8')), b,
+                               **tol(1e-6, 1e-6, rtol32=2e-3, atol32=2e-4))
 
 
 def test_scaled_matrix(rng, n):
     # badly scaled diagonal must still solve accurately
     K0 = random_psd(rng, n)
-    s = 10.0 ** rng.uniform(-8, 8, n)
+    s = 10.0 ** rng.uniform(-4 if is_f32() else -8, 4 if is_f32() else 8, n)
     K = K0 * np.outer(s, s)
     d = Chol(K)
+    Kr = np.asarray(d.matrix(), 'f8')
     b = rng.standard_normal(n) * s
-    x = np.asarray(d.ginv_linear(jnp.asarray(b)))
-    np.testing.assert_allclose(np.asarray(K @ x), b, rtol=1e-5)
+    x = np.asarray(d.ginv_linear(jnp.asarray(b)), 'f8')
+    np.testing.assert_allclose(Kr @ x, b,
+                               **tol(1e-5, rtol32=2e-3, atol32=0))
 
 
 def test_pinv_bilinear(rng, n):
@@ -42,8 +51,8 @@ def test_pinv_bilinear(rng, n):
     A = rng.standard_normal((n, 3))
     r = rng.standard_normal(n)
     got = np.asarray(d.pinv_bilinear(A, r))
-    want = A.T @ np.linalg.solve(K, r)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+    want = A.T @ np.linalg.solve(np.asarray(d.matrix(), 'f8'), r)
+    np.testing.assert_allclose(got, want, **tol(1e-5, 1e-8, rtol32=1e-2, atol32=1e-2))
 
 
 def test_ginv_quad(rng, n):
@@ -51,10 +60,11 @@ def test_ginv_quad(rng, n):
     d = Chol(K)
     A = rng.standard_normal((n, 4))
     got = np.asarray(d.ginv_quad(A))
-    want = A.T @ np.linalg.solve(K, A)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+    want = A.T @ np.linalg.solve(np.asarray(d.matrix(), 'f8'), A)
+    np.testing.assert_allclose(got, want, **tol(1e-5, 1e-8, rtol32=1e-2, atol32=1e-2))
     np.testing.assert_allclose(
-        np.asarray(d.ginv_diagquad(A)), np.diag(want), rtol=1e-5, atol=1e-8
+        np.asarray(d.ginv_diagquad(A)), np.diag(want),
+        **tol(1e-5, 1e-8, rtol32=1e-2, atol32=1e-2)
     )
 
 
@@ -65,9 +75,10 @@ def test_correlate_roundtrip(rng, n):
     y = np.asarray(d.correlate(x))
     # cov of correlate = K
     M = np.asarray(d.correlate(np.eye(n)))
-    np.testing.assert_allclose(M @ M.T, np.asarray(d.matrix()), rtol=1e-7)
+    np.testing.assert_allclose(M @ M.T, np.asarray(d.matrix()),
+                               **tol(1e-7, rtol32=1e-3, atol32=1e-3))
     z = np.asarray(d.pinv_correlate(jnp.asarray(y)))
-    np.testing.assert_allclose(z, x, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(z, x, **tol(1e-5, 1e-8, rtol32=2e-2, atol32=1e-2))
 
 
 def test_logdet(rng, n):
@@ -76,7 +87,7 @@ def test_logdet(rng, n):
     sign, want = np.linalg.slogdet(K)
     got = float(d.logdet())
     assert sign > 0
-    np.testing.assert_allclose(got, want, rtol=1e-4)
+    np.testing.assert_allclose(got, want, **tol(1e-4, rtol32=2e-3))
 
 
 def test_density_value(rng, n):
@@ -84,12 +95,13 @@ def test_density_value(rng, n):
     d = Chol(K)
     r = rng.standard_normal(n)
     got = float(d.minus_log_normal_density(jnp.asarray(r)))
+    Kr = np.asarray(d.matrix(), 'f8')
     want = 0.5 * (
-        r @ np.linalg.solve(K, r)
-        + np.linalg.slogdet(K)[1]
+        r @ np.linalg.solve(Kr, r)
+        + np.linalg.slogdet(Kr)[1]
         + n * np.log(2 * np.pi)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got, want, **tol(1e-5, rtol32=5e-3))
 
 
 def test_density_grad_vs_ad(rng):
@@ -114,7 +126,7 @@ def test_density_grad_vs_ad(rng):
 
     g1 = jax.grad(density)(0.5, True)
     g2 = jax.grad(density)(0.5, False)
-    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-6)
+    np.testing.assert_allclose(float(g1), float(g2), **tol(1e-6, rtol32=3e-3))
 
 
 def test_fisher(rng):
@@ -129,7 +141,7 @@ def test_fisher(rng):
     for i in range(P):
         for j in range(P):
             want[i, j] = 0.5 * np.trace(Ki @ dK[i] @ Ki @ dK[j]) + dr[i] @ Ki @ dr[j]
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got, want, **tol(1e-6, rtol32=3e-3))
 
 
 def test_rank_deficient(rng):
@@ -139,7 +151,8 @@ def test_rank_deficient(rng):
     r = np.asarray(K @ rng.standard_normal(n))
     x = np.asarray(d.ginv_linear(jnp.asarray(r)))
     # K x should reproduce r for r in range(K)
-    np.testing.assert_allclose(np.asarray(K @ x), r, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(K @ x), r,
+                               **tol(1e-3, 1e-6, rtol32=3e-2, atol32=3e-2))
 
 
 def test_jit_pytree(rng):
