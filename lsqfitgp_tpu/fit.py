@@ -230,6 +230,20 @@ class empbayes_fit:
             return out
 
         self._nll = nll
+
+        def make_Kr(w):
+            """(K(w), r(w)) without decomposing — the raw assembly whose
+            jvp/vjp drive Fisher-vector products."""
+            hp = make_hp(w)
+            if data_callable:
+                d = given(hp, **gpfactorykw)
+                g, gcov = (d if isinstance(d, tuple) else (d, None))
+            else:
+                g, gcov = given, givencov
+            gp = gpfactory(hp, **gpfactorykw)
+            return gp._prior_kr(g, gcov)
+
+        self._make_Kr = make_Kr
         if forward:
             # forward-mode gradients: faster when the kernel evaluation
             # dominates and P is small (e.g. BART; reference _fit.py
@@ -371,12 +385,29 @@ class empbayes_fit:
                 def f(w):
                     v, g = value_and_grad(jnp.asarray(w))
                     return float(v), numpy.asarray(g, float)
-                fisher_w = self._make_fisher(nll, fixmask)
-                res = scipy.optimize.minimize(
-                    f, numpy.asarray(w0), jac=True, method='trust-ncg',
-                    hess=lambda w: numpy.asarray(fisher_w(jnp.asarray(w))),
-                    **kw,
-                )
+                use_fishvec = kw.pop('fishvec', nparam > 20)
+                if use_fishvec:
+                    # Fisher-vector products: O(n²) memory per product
+                    # instead of the (P, n, n) derivative stack — the
+                    # large-P path (reference ``_decomp.py:20-109``
+                    # fishvec design)
+                    fvec = self._make_fishvec(make_Kr, fixmask)
+                    if jit:
+                        fvec = jax.jit(fvec)
+                    res = scipy.optimize.minimize(
+                        f, numpy.asarray(w0), jac=True, method='trust-ncg',
+                        hessp=lambda w, v: numpy.asarray(
+                            fvec(jnp.asarray(w), jnp.asarray(v))),
+                        **kw,
+                    )
+                else:
+                    fisher_w = self._make_fisher(nll, fixmask)
+                    res = scipy.optimize.minimize(
+                        f, numpy.asarray(w0), jac=True, method='trust-ncg',
+                        hess=lambda w: numpy.asarray(
+                            fisher_w(jnp.asarray(w))),
+                        **kw,
+                    )
             else:
                 raise KeyError(f'unknown method {method!r}')
             wmin = jnp.asarray(res.x)
@@ -410,26 +441,33 @@ class empbayes_fit:
             # tr(K⁻¹ dK_i K⁻¹ dK_j)/2 + dr_i' K⁻¹ dr_j  (+ unit prior),
             # the reference's approach (reference _fit.py:711-743 with
             # _decomp.py:441-586); guaranteed PSD unlike the AD hessian
-            def make_Kr(w):
-                hp = make_hp(w)
-                if data_callable:
-                    d = given(hp, **gpfactorykw)
-                    g, gcov = (d if isinstance(d, tuple) else (d, None))
-                else:
-                    g, gcov = given, givencov
-                gp = gpfactory(hp, **gpfactorykw)
-                dec, r = gp._prior_decomp(g, gcov, **mlkw)
-                return dec.matrix(), r
+            if nparam > 20:
+                # assemble F one Fisher-vector product at a time
+                # (lax.map, NOT vmap: vmap would rebatch the directional
+                # derivative into the very (P, n, n) stack this path
+                # exists to avoid)
+                K0, r0 = make_Kr(wmin)
+                dec0 = Chol(K0)
+                _, vjpK = jax.vjp(make_Kr, wmin)
 
-            K0, r0 = make_Kr(wmin)
-            dK, dr = jax.jacfwd(make_Kr)(wmin)   # (n,n,P), (n,P)
-            Flik = Chol(K0).fisher(
-                jnp.moveaxis(dK, -1, 0), dr.T
-            )
-            F = Flik + jnp.eye(nparam)           # standard-normal prior
-            eye = jnp.eye(nparam)
-            mask2d = fixmask[:, None] | fixmask[None, :]
-            F = jnp.where(mask2d, eye, F)
+                def fcol(v):
+                    vfree = jnp.where(fixmask, 0.0, v)
+                    _, (dKv, drv) = jax.jvp(make_Kr, (wmin,), (vfree,))
+                    CK, cr = dec0.fishvec_cotangent(dKv, drv)
+                    (Fv,) = vjpK((CK, cr))
+                    return jnp.where(fixmask, v, Fv + v)
+
+                F = jax.lax.map(fcol, jnp.eye(nparam))
+            else:
+                K0, r0 = make_Kr(wmin)
+                dK, dr = jax.jacfwd(make_Kr)(wmin)   # (n,n,P), (n,P)
+                Flik = Chol(K0).fisher(
+                    jnp.moveaxis(dK, -1, 0), dr.T
+                )
+                F = Flik + jnp.eye(nparam)           # standard-normal prior
+                eye = jnp.eye(nparam)
+                mask2d = fixmask[:, None] | fixmask[None, :]
+                F = jnp.where(mask2d, eye, F)
             cov_w = Chol(F).ginv()
         elif covariance == 'minhess':
             if hess_inv is None:
@@ -468,6 +506,27 @@ class empbayes_fit:
             self.data = d if isinstance(d, tuple) else (d, None)
         else:
             self.data = (given, givencov)
+
+    def _make_fishvec(self, make_Kr, fixmask):
+        """Expected-Fisher-vector product F @ v in O(n²) memory.
+
+        One jvp of ``p -> (K, r)`` along v gives the directional
+        derivatives; the decomposition turns them into cotangents
+        (``Chol.fishvec_cotangent``); one vjp pulls them back to
+        parameter space.  The standard-normal prior on the whitened
+        parameters adds the identity; ``additional_loss`` curvature is
+        NOT included (this is a Newton *preconditioner* — the gradient
+        still drives the optimum).  Formulas: reference
+        ``_decomp.py:20-109``."""
+        def fishvec(w, v):
+            vfree = jnp.where(fixmask, 0.0, v)
+            (K, r), (dKv, drv) = jax.jvp(make_Kr, (w,), (vfree,))
+            dec = Chol(K)
+            CK, cr = dec.fishvec_cotangent(dKv, drv)
+            _, vjp = jax.vjp(make_Kr, w)
+            (Fv,) = vjp((CK, cr))
+            return jnp.where(fixmask, v, Fv + v)
+        return fishvec
 
     def _make_fisher(self, nll, fixmask):
         """Fisher matrix ≈ Hessian via forward-over-reverse AD of the

@@ -783,6 +783,18 @@ class GP:
         solver = self._solver_for(inkeys, extracov=ycov, **decompkw)
         return solver, ymean
 
+    def _prior_kr(self, given, givencov=None):
+        """(data covariance matrix, residuals) WITHOUT decomposing.
+
+        Used by the fit driver's Fisher-vector products, where
+        derivatives of K(p) must not flow through a Cholesky
+        (reference ``_fit.py:604-643`` ``make_decomp`` analog)."""
+        inkeys, ymean, ycov, _ = self._flatgiven(given, givencov)
+        K = self._assemble(inkeys, inkeys)
+        if ycov is not None:
+            K = K + ycov
+        return K, ymean
+
 
 def _iskernel_scalar(c):
     from ..kernelalg import _util

@@ -305,6 +305,29 @@ class Chol(Decomposition):
         Fr = zr.T @ zr
         return FK + Fr
 
+    def fishvec_cotangent(self, dKv, drv):
+        """Cotangents for a Fisher-vector product without materializing
+        the (P, n, n) derivative stack (reference ``_decomp.py:20-109``
+        ``fishvec`` design notes).
+
+        Given the *directional* derivatives along a parameter direction
+        ``v`` — ``dKv = Σ_i v_i ∂K/∂p_i`` (n, n) and ``drv = Σ_i v_i
+        ∂r/∂p_i`` (n,) — returns ``(C_K, c_r)`` such that
+
+            (F v)_i = <∂K/∂p_i, C_K> + <∂r/∂p_i, c_r>,
+
+        i.e. pulling ``(C_K, c_r)`` back through ``jax.vjp`` of
+        ``p -> (K(p), r(p))`` yields the full Fisher-vector product
+
+            (F v)_i = tr(K⁻¹ ∂K_i K⁻¹ dKv)/2 + ∂r_i' K⁻¹ drv
+
+        in O(n²) memory.  ``C_K = K⁻¹ dKv K⁻¹ / 2`` (symmetrized),
+        ``c_r = K⁻¹ drv``.
+        """
+        M = self.ginv_linear(self.ginv_linear(dKv).T)
+        M = 0.5 * (M + M.T)
+        return 0.5 * M, self.ginv_linear(drv)
+
 
 def solve_batched_triangular(L, B):
     """solve L X = B with B of shape (..., n, m) or (n, m) or (P, n)."""

@@ -173,3 +173,37 @@ def test_jit_pytree(rng):
 
     d = Chol(jnp.asarray(K))
     assert np.isclose(float(g(d, r)), v)
+
+
+def test_fishvec_cotangent(rng):
+    # the fishvec cotangent pulled back through jax.vjp of p -> (K, r)
+    # must reproduce the dense Fisher @ v (reference _decomp.py:20-109)
+    n, P = 8, 5
+    K0 = random_psd(rng, n) + 5 * np.eye(n)
+    Vs = np.stack([random_psd(rng, n) for _ in range(P)])
+    W = rng.standard_normal((P, n))
+    r0 = rng.standard_normal(n)
+
+    def make_Kr(p):
+        K = jnp.asarray(K0) + jnp.einsum('i,iab->ab', p, jnp.asarray(Vs))
+        r = jnp.asarray(r0) + p @ jnp.asarray(W)
+        return K, r
+
+    p0 = jnp.asarray(0.1 * rng.standard_normal(P))
+    v = jnp.asarray(rng.standard_normal(P))
+
+    K, r = make_Kr(p0)
+    d = Chol(K, epsrel=0)
+
+    # dense reference
+    dK, dr = jax.jacfwd(make_Kr)(p0)            # (n, n, P), (n, P)
+    F = d.fisher(jnp.moveaxis(dK, -1, 0), dr.T)
+    want = np.asarray(F @ v)
+
+    # fishvec: one jvp + cotangent + one vjp, no (P, n, n) stack
+    _, (dKv, drv) = jax.jvp(make_Kr, (p0,), (v,))
+    CK, cr = d.fishvec_cotangent(dKv, drv)
+    _, vjp = jax.vjp(make_Kr, p0)
+    (got,) = vjp((CK, cr))
+    np.testing.assert_allclose(np.asarray(got), want,
+                               **tol(1e-10, rtol32=1e-4, atol32=1e-4))

@@ -161,3 +161,63 @@ def test_fit_expected_fisher(rng):
     assert sf > 0 and sh > 0
     # same order of magnitude (they estimate the same curvature)
     assert 0.3 < sf / sh < 3.0
+
+
+def _many_param_setup(rng, n=24):
+    """A model with P = n+1 > 20 hyperparameters (per-point noise levels
+    plus the kernel scale), to exercise the Fisher-vector-product paths."""
+    x = np.sort(rng.uniform(-5, 5, n))
+    k = ExpQuad(scale=2.0)
+    K = np.asarray(k(x[:, None], x[None, :]))
+    L = np.linalg.cholesky(K + 1e-10 * np.eye(n))
+    y = L @ rng.standard_normal(n) + 0.1 * rng.standard_normal(n)
+
+    def gpfactory(hp):
+        gp = GP(ExpQuad(scale=hp['scale']))
+        gp = gp.addx(x, 'f')
+        gp = gp.addcov(jnp.diag(hp['sigma'] ** 2), 'e')
+        gp = gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                             checklin=False)
+        return gp
+
+    hp = {
+        'log(scale)': (0.0, 1.0),
+        'log(sigma)': (np.full(n, np.log(0.1)), np.full(n, 0.5)),
+    }
+    return hp, gpfactory, y
+
+
+def test_fishvec_matches_dense_fisher(rng):
+    # _make_fishvec agrees with the materialized jacfwd Fisher
+    hp, gpf, y = _many_param_setup(rng, n=10)
+    # the fit itself is incidental — we only need the assembled closures
+    fit = empbayes_fit(hp, gpf, {'y': y}, raises=False,
+                       minkw=dict(options=dict(maxiter=2)))
+    w = jnp.asarray(rng.standard_normal(fit.w.size) * 0.1)
+    v = jnp.asarray(rng.standard_normal(fit.w.size))
+    fvec = fit._make_fishvec(fit._make_Kr, fit.fix)
+    got = np.asarray(fvec(w, v))
+
+    K0, r0 = fit._make_Kr(w)
+    from lsqfitgp_tpu.linalg import Chol
+    dK, dr = jax.jacfwd(fit._make_Kr)(w)
+    F = Chol(K0).fisher(jnp.moveaxis(dK, -1, 0), dr.T) \
+        + jnp.eye(v.size)
+    want = np.asarray(F @ v)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_fit_fisher_method_large_P(rng):
+    # method='fisher' at P > 20 runs through the hessp fishvec path and
+    # covariance='fisher' through the lax.map column assembly
+    hp, gpf, y = _many_param_setup(rng)
+    fit = empbayes_fit(
+        hp, gpf, {'y': y},
+        method='fisher', covariance='fisher', raises=False,
+        minkw=dict(options=dict(maxiter=15)),
+    )
+    assert fit.pcov.shape == (25, 25)
+    assert np.all(np.isfinite(np.asarray(fit.pmean)))
+    # covariance must be PSD (fisher guarantees it)
+    eigs = np.linalg.eigvalsh(np.asarray(fit.pcov, 'f8'))
+    assert eigs.min() > -1e-6 * max(1, eigs.max())
