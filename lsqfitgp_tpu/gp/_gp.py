@@ -82,12 +82,19 @@ class GP:
     posepsfac : float
         Tolerance factor for the positivity check.
     halfmatrix : bool
-        Reserved (upper-triangle point evaluation optimization).
+        Evaluate symmetric point blocks on the upper-triangle tiles only
+        (via the Pallas ``gram_sym`` path; worth it for expensive
+        kernels).  Counterpart of reference ``_elements.py:567-573``.
+    gram : {'auto', 'tiled', 'broadcast'}
+        Point-block assembly engine.  'tiled' routes isotropic kernels
+        through the Pallas tiled evaluator (r² on the MXU, profile fused
+        in VMEM); 'broadcast' always uses the XLA broadcast of the
+        kernel core; 'auto' (default) tiles on TPU for large blocks.
     """
 
     def __init__(self, covfun=None, *, solver='chol', checkpos=True,
                  checksym=True, checkfinite=True, checklin=True,
-                 posepsfac=1, halfmatrix=False, **kw):
+                 posepsfac=1, halfmatrix=False, gram='auto', **kw):
         self._procs = {}
         self._elements = {}
         self._kernel_cache = {}
@@ -95,6 +102,10 @@ class GP:
         self._decomp_cache = {}
         self._solverkw = dict(kw)
         self._solver = solver
+        if gram not in ('auto', 'tiled', 'broadcast'):
+            raise KeyError(f'unknown gram mode {gram!r}')
+        self._gram_mode = gram
+        self._halfmatrix = bool(halfmatrix)
         self._checks = dict(
             pos=checkpos, sym=checksym, finite=checkfinite, lin=checklin,
             posepsfac=posepsfac,
@@ -122,6 +133,8 @@ class GP:
         new._solverkw = self._solverkw
         new._solver = self._solver
         new._checks = self._checks
+        new._gram_mode = self._gram_mode
+        new._halfmatrix = self._halfmatrix
         return new
 
     def _checkprockey(self, key, new=True):
@@ -475,10 +488,58 @@ class GP:
             return jnp.zeros((_size(ea.shape), _size(eb.shape)))
         if ea.deriv or eb.deriv:
             kernel = kernel.linop('diff', ea.deriv, eb.deriv)
+        blk = self._block_points_tiled(kernel, ea, eb)
+        if blk is not None:
+            return blk
         xa = ea.x.reshape(-1) if ea.x.ndim != 1 else ea.x
         xb = eb.x.reshape(-1) if eb.x.ndim != 1 else eb.x
         blk = kernel(xa[:, None], xb[None, :])
         return blk
+
+    def _block_points_tiled(self, kernel, ea, eb):
+        """Pallas tiled Gram assembly for isotropic kernels: r² via the
+        MXU, the profile fused in VMEM (SURVEY §7.4; the counterpart of
+        reference ``_elements.py:554-580``).  Returns None when the
+        kernel or the inputs fall outside the fast path — the caller
+        falls back to the broadcast core evaluation."""
+        mode = self._gram_mode
+        if mode == 'broadcast':
+            return None
+        spec = getattr(kernel, '_fastgram', None)
+        if spec is None:
+            return None
+        from ..kernelalg import _fastgram as fg
+        cols_a = fg.leaf_columns(ea.x)
+        cols_b = cols_a if eb is ea else fg.leaf_columns(eb.x)
+        if cols_a is None or cols_b is None \
+                or len(cols_a) != len(cols_b):
+            return None
+        p = len(cols_a)
+        if spec.maxdim is not None and not (
+                isinstance(spec.maxdim, float) and math.isinf(spec.maxdim)
+        ) and p > spec.maxdim:
+            return None  # let the broadcast path raise the guard error
+        na, nb = _size(ea.shape), _size(eb.shape)
+        if mode == 'auto':
+            # measured on v5e (n=4096-8192, NLL pipeline in situ): the
+            # XLA broadcast is already fully fused for 1-D inputs
+            # (tiled 0.8x); the MXU r² pays off from ~8 coordinate
+            # columns (1.1-1.3x) and grows with p.  'auto' is therefore
+            # conservative; force gram='tiled' for expensive profiles.
+            import jax as _jax
+            if _jax.default_backend() != 'tpu':
+                return None
+            if p < 8 or na * nb < (1 << 20):
+                return None
+        from .. import ops
+        profile, params = fg.build_profile(spec)
+        X = fg.transform_points(spec, cols_a)
+        sym = ea is eb or (eb.x is ea.x and eb.proc == ea.proc
+                           and eb.deriv == ea.deriv)
+        if sym and self._halfmatrix:
+            return ops.gram_sym(profile, X, params=params)
+        Y = X if sym else fg.transform_points(spec, cols_b)
+        return ops.gram(profile, X, Y, params=params)
 
     def _block_lintransf_left(self, ea, b):
         eb = self._elements[b]

@@ -89,7 +89,7 @@ class CrossKernel:
     `transf`, `linop`, `algop`.
     """
 
-    __slots__ = '_initkw', '_dynkw', '_core'
+    __slots__ = '_initkw', '_dynkw', '_core', '_fastgram'
 
     @property
     def initkw(self):
@@ -112,6 +112,7 @@ class CrossKernel:
         self._initkw = initkw
         self._dynkw = dict(dynkw)
         self._core = lambda x, y, **dkw: core(x, y, **initkw, **dkw)
+        self._fastgram = None
 
         if forcekron:
             self = self.transf('forcekron')
@@ -145,6 +146,11 @@ class CrossKernel:
         new._initkw = self._initkw if initkw is None else dict(initkw)
         new._dynkw = {} if dynkw is None else dict(dynkw)
         new._core = self._core if core is None else core
+        # the fast-Gram spec survives only pure reclassing clones (same
+        # core, initkw, dynkw → same values); any transformation drops it
+        new._fastgram = self._fastgram if (
+            core is None and initkw is None and dynkw is None
+        ) else None
         return new
 
     def _swap(self):

@@ -1,0 +1,174 @@
+"""Fast-Gram dispatch specs for isotropic kernels.
+
+A freshly constructed :class:`CrossIsotropicKernel` knows its scalar
+profile g(r², **initkw) and the distance preprocessing mode; that is
+exactly the information the tiled Pallas Gram evaluator
+(:mod:`lsqfitgp_tpu.ops`) needs to assemble the covariance block with
+the MXU computing r² = ‖x‖² + ‖y‖² − 2xy' instead of broadcasting the
+core over x[:, None], y[None, :] (which materializes the (n, m, p)
+difference tensor for multi-field inputs).
+
+The spec is attached to the kernel instance at construction and
+deliberately DROPPED by every transformation that changes the kernel's
+values (`_clone` with a new core): a transformed kernel falls back to
+the broadcast path.  The constructor-level ``scale``/``loc`` arguments
+— the common case, e.g. ``ExpQuad(scale=3)`` — are *folded into the
+spec* (points are pre-shifted/scaled before the distance), because
+`CrossKernel.__new__` applies them as generic linops which would
+otherwise hide the profile.
+
+Counterpart of the reference's ``halfmatrix``/batched assembly
+machinery (reference ``_GP/_elements.py:554-580``), re-designed for
+TPU (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import jax
+from jax import numpy as jnp
+
+from .. import _array
+
+__all__ = ['FastGramSpec', 'make_spec', 'leaf_columns', 'build_profile']
+
+
+FastGramSpec = collections.namedtuple(
+    'FastGramSpec',
+    ['core', 'mode', 'static_kw', 'dyn_names', 'dyn_values', 'scale',
+     'loc', 'maxdim'],
+)
+
+# constructor arguments consumed by CrossKernel.__new__ itself
+_RESERVED = {
+    'scale', 'loc', 'derivable', 'maxdim', 'dim', 'forcekron',
+    'batchbytes', 'dynkw',
+}
+
+
+def _is_scalar_value(v):
+    try:
+        return jnp.ndim(v) == 0 or getattr(v, 'size', None) == 1
+    except TypeError:
+        return False
+
+
+def _is_dynamic(v):
+    """Traced or device values go through the parameter vector; concrete
+    Python values are baked into the profile closure (so e.g. integer
+    parameters used in Python-level unrolling keep working)."""
+    return isinstance(v, jax.Array) or isinstance(v, jax.core.Tracer)
+
+
+def make_spec(core, mode, kw):
+    """Build a FastGramSpec for an isotropic core, or None if the
+    construction arguments put it outside the fast path's semantics."""
+    if mode not in ('squared', 'abs', 'posabs'):
+        return None
+    if kw.get('dim') is not None:
+        # field selection changes which coordinates enter the distance
+        return None
+    if kw.get('dynkw'):
+        return None
+    initkw = {k: v for k, v in kw.items() if k not in _RESERVED}
+
+    def resolve(name):
+        v = kw.get(name)
+        if callable(v):
+            v = v(**initkw)
+        return v
+
+    scale = resolve('scale')
+    loc = resolve('loc')
+    maxdim = resolve('maxdim')
+    if isinstance(maxdim, tuple):
+        return None  # per-side maxdim: stay on the broadcast path
+    for v in (scale, loc):
+        if v is not None and not _is_scalar_value(v):
+            return None
+
+    static_kw, dyn_names, dyn_values = {}, [], []
+    for k in sorted(initkw):
+        v = initkw[k]
+        if _is_dynamic(v):
+            if not _is_scalar_value(v):
+                return None
+            dyn_names.append(k)
+            dyn_values.append(jnp.reshape(v, ()))
+        else:
+            static_kw[k] = v
+    return FastGramSpec(
+        core=core, mode=mode, static_kw=static_kw,
+        dyn_names=tuple(dyn_names), dyn_values=tuple(dyn_values),
+        scale=scale, loc=loc, maxdim=maxdim,
+    )
+
+
+def leaf_columns(x):
+    """Flatten the coordinates of ``x`` into a list of 1-D float
+    columns, or None if ``x`` is outside the fast path (non-numeric
+    leaves).  Subarray tails become one column per component, matching
+    ``sum_recurse_fields`` summing tail axes into the distance."""
+    cols = []
+
+    def visit(v):
+        if isinstance(v, _array.StructuredArray):
+            for name in v.fields:
+                visit(v[name])
+            return True
+        v = jnp.asarray(v)
+        if not (jnp.issubdtype(v.dtype, jnp.floating)
+                or jnp.issubdtype(v.dtype, jnp.integer)):
+            return False
+        flat = v.reshape((x.size, -1))
+        for k in range(flat.shape[1]):
+            cols.append(flat[:, k])
+        return True
+
+    if isinstance(x, _array.StructuredArray):
+        if not visit(x):
+            return None
+    else:
+        x = jnp.asarray(x)
+        if not (jnp.issubdtype(x.dtype, jnp.floating)
+                or jnp.issubdtype(x.dtype, jnp.integer)):
+            return None
+        cols.append(x.reshape(-1))
+    return cols
+
+
+def build_profile(spec):
+    """(profile, params): a pure ``profile(r2, *params)`` suitable for
+    :func:`lsqfitgp_tpu.ops.gram`, with the dynamic (traced) init
+    arguments passed positionally."""
+    core = spec.core
+    mode = spec.mode
+    static_kw = spec.static_kw
+    dyn_names = spec.dyn_names
+
+    def profile(r2, *dyn):
+        kwargs = dict(static_kw)
+        kwargs.update(zip(dyn_names, dyn))
+        if mode == 'squared':
+            t = r2
+        elif mode == 'abs':
+            t = jnp.sqrt(r2)
+        else:  # posabs: |.| shifted away from zero (values differ from
+            # the per-field softabs of the broadcast path by O(eps))
+            t = jnp.sqrt(r2) + jnp.finfo(r2.dtype).eps
+        return core(t, **kwargs)
+
+    return profile, spec.dyn_values
+
+
+def transform_points(spec, cols):
+    """Stack columns to (n, p) and fold the constructor-level loc/scale
+    (x → (x − loc)/scale) into the coordinates."""
+    X = jnp.stack([jnp.asarray(c, jnp.result_type(c.dtype, jnp.float32))
+                   for c in cols], axis=-1)
+    if spec.loc is not None:
+        X = X - spec.loc
+    if spec.scale is not None:
+        X = X / spec.scale
+    return X

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from jax import numpy as jnp
 
-from . import _core, _stationary, _util
+from . import _core, _fastgram, _stationary, _util
 
 __all__ = [
     'CrossIsotropicKernel', 'IsotropicKernel',
@@ -40,7 +40,13 @@ class CrossIsotropicKernel(_stationary.CrossStationaryKernel):
             ss = _util.sum_recurse_fields(dist, x, y)
             return core(transf(ss), **kwargs)
 
-        return _core.CrossKernel.__new__(cls, newcore, **kw)
+        self = _core.CrossKernel.__new__(cls, newcore, **kw)
+        if not self._dynkw:
+            # remember the scalar profile so the GP can assemble point
+            # blocks with the tiled Pallas evaluator (the MXU computes
+            # r²); any later transformation drops this (see _fastgram)
+            self._fastgram = _fastgram.make_spec(core, input, kw)
+        return self
 
 
 class IsotropicKernel(CrossIsotropicKernel, _stationary.StationaryKernel):

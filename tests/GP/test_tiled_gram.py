@@ -1,0 +1,141 @@
+"""Pallas tiled Gram assembly in the GP vs the broadcast path
+(reference ``_elements.py:554-580`` halfmatrix semantics; forced tiled
+mode runs the Pallas interpreter on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lsqfitgp_tpu as lgp
+from lsqfitgp_tpu import GP
+from lsqfitgp_tpu.kernels import ExpQuad, Cauchy, Maternp, GammaExp
+
+from util import tol
+
+
+def _prior_cov(kernel, x, gram, **kw):
+    return np.asarray(
+        GP(kernel, gram=gram, checkpos=False, **kw)
+        .addx(x, 'a').prior('a', raw=True)
+    )
+
+
+KERNELS = [
+    ('expquad', lambda: ExpQuad()),
+    ('expquad_scaled', lambda: ExpQuad(scale=2.5, loc=0.5)),
+    ('cauchy', lambda: Cauchy(alpha=1.5, beta=2.0)),
+    ('matern2', lambda: Maternp(p=2)),
+    ('gammaexp', lambda: GammaExp(gamma=1.3)),
+]
+
+
+@pytest.mark.parametrize('name,mk', KERNELS, ids=[k[0] for k in KERNELS])
+def test_tiled_matches_broadcast_1d(name, mk, rng):
+    x = rng.uniform(-3, 3, 60)
+    K1 = _prior_cov(mk(), x, 'tiled')
+    K2 = _prior_cov(mk(), x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-5, atol32=1e-6))
+
+
+def test_tiled_matches_broadcast_structured(rng):
+    # multi-field structured input: the case where the MXU r² wins
+    x = np.empty(50, dtype=[('u', float), ('v', float), ('w', float)])
+    for f in 'uvw':
+        x[f] = rng.uniform(-2, 2, 50)
+    K1 = _prior_cov(ExpQuad(scale=1.7), x, 'tiled')
+    K2 = _prior_cov(ExpQuad(scale=1.7), x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-5, atol32=1e-6))
+
+
+def test_halfmatrix_sym(rng):
+    x = rng.uniform(-3, 3, 40)
+    K1 = _prior_cov(ExpQuad(), x, 'tiled', halfmatrix=True)
+    K2 = _prior_cov(ExpQuad(), x, 'broadcast')
+    np.testing.assert_allclose(K1, K1.T, atol=0)
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-5, atol32=1e-6))
+
+
+def test_cross_block(rng):
+    xa = rng.uniform(-3, 3, 30)
+    xb = rng.uniform(-3, 3, 20)
+
+    def build(gram):
+        return GP(ExpQuad(scale=1.3), gram=gram, checkpos=False) \
+            .addx(xa, 'a').addx(xb, 'b')
+
+    Ka = build('tiled')._assemble(['a'], ['b'])
+    Kb = build('broadcast')._assemble(['a'], ['b'])
+    np.testing.assert_allclose(np.asarray(Ka), np.asarray(Kb),
+                               **tol(1e-12, 1e-12,
+                                     rtol32=1e-5, atol32=1e-6))
+
+
+def test_traced_hyperparams_grad(rng):
+    # the tiled path must be differentiable w.r.t. hyperparameters in
+    # both modes (the fit uses reverse for the NLL and forward for the
+    # Fisher) and must not leak tracers into static closures
+    x = rng.uniform(-3, 3, 25)
+    y = rng.standard_normal(25)
+
+    def nll(log_scale, gram):
+        gp = GP(ExpQuad(scale=jnp.exp(log_scale)), gram=gram,
+                checkpos=False)
+        gp = gp.addx(x, 'a')
+        K = gp._assemble(['a'], ['a'])
+        K = K + 0.01 * jnp.eye(25)
+        from lsqfitgp_tpu.linalg import Chol
+        return Chol(K).minus_log_normal_density(jnp.asarray(y))
+
+    g1 = float(jax.grad(nll)(0.3, 'tiled'))
+    g2 = float(jax.grad(nll)(0.3, 'broadcast'))
+    np.testing.assert_allclose(g1, g2, rtol=2e-3)
+    j1 = float(jax.jacfwd(nll)(0.3, 'tiled'))
+    np.testing.assert_allclose(j1, g2, rtol=2e-3)
+
+
+def test_transformed_kernel_falls_back(rng):
+    # transformations drop the fast-Gram spec: the tiled mode must
+    # still produce correct values through the broadcast fallback
+    x = rng.uniform(-3, 3, 30)
+    k = ExpQuad() + 0.5 * Cauchy(alpha=1.0, beta=1.0)
+    assert getattr(k, '_fastgram', 'missing') is None
+    K1 = _prior_cov(k, x, 'tiled')
+    K2 = _prior_cov(k, x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-5, atol32=1e-6))
+
+
+def test_deriv_falls_back(rng):
+    x = rng.uniform(-3, 3, 20)
+    K1 = np.asarray(
+        GP(ExpQuad(), gram='tiled', checkpos=False)
+        .addx(x, 'a', deriv=1).prior('a', raw=True)
+    )
+    K2 = np.asarray(
+        GP(ExpQuad(), gram='broadcast', checkpos=False)
+        .addx(x, 'a', deriv=1).prior('a', raw=True)
+    )
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-5, atol32=1e-6))
+
+
+def test_spec_attached_and_dropped():
+    k = ExpQuad(scale=2.0)
+    assert k._fastgram is not None
+    assert k._fastgram.scale == 2.0
+    assert k.linop('scale', 3.0)._fastgram is None
+    assert (k + k)._fastgram is None
+    assert k.batch(10e6)._fastgram is None
+
+
+def test_auto_mode_cpu_uses_broadcast(rng):
+    # on CPU 'auto' must never enter the (interpreted, slow) Pallas path
+    gp = GP(ExpQuad(), gram='auto', checkpos=False).addx(
+        rng.uniform(-1, 1, 10), 'a')
+    ea = gp._elements['a']
+    k = gp._crosskernel(ea.proc, ea.proc)
+    assert gp._block_points_tiled(k, ea, ea) is None
