@@ -16,4 +16,7 @@ from ._mesh import (
     make_mesh, sharded_gram, sharded_nll, sharded_nll_distributed,
     sharded_train_step,
 )
-from ._pchol import block_cholesky, block_solve_lower
+from ._pchol import (
+    block_cholesky, block_solve_lower, block_solve_lower_t,
+    cyclic_permutation,
+)

@@ -78,27 +78,67 @@ def sharded_nll(kernel_fn, x, y, noise_var, *, mesh):
 
 
 def sharded_nll_distributed(kernel_fn, x, y, noise_var, *, mesh,
-                            axis='r', block=128):
-    """-log marginal likelihood where BOTH the Gram assembly and the
-    Cholesky factorization + solve are distributed (no single-device
-    gather of the n×n matrix): row-sharded assembly, blocked-panel
-    shard_map Cholesky (`parallel.block_cholesky`), distributed forward
-    substitution, local log-diagonal reduction."""
+                            axis='r', block=128, layout='cyclic'):
+    """-log marginal likelihood where the Gram assembly, the Cholesky
+    factorization, the forward substitution, and the log-determinant
+    are ALL distributed — one fused ``shard_map``:
+
+    - each device assembles only its own row strip of K (rows picked by
+      the block-cyclic layout, so late factorization panels still have
+      work on every device);
+    - blocked-panel right-looking Cholesky (per-panel all_gather of the
+      n×B panel — Σ n² communication);
+    - accumulator forward substitution (one masked psum of B entries
+      per panel — Σ n·log D communication; the round-1 version
+      all-gathered the full n×n factor per step);
+    - local log-diagonal partial sums + psum.
+
+    No device ever materializes more than its (n/D, n) strip, so n is
+    limited by the pod's aggregate HBM rather than one chip's."""
     import math as _math
-    from ._pchol import block_cholesky, block_solve_lower
+    import functools
+    from jax import lax
+    from . import _pchol
 
     n = y.shape[0]
-    rows = NamedSharding(mesh, P(axis))
-    xr = jax.lax.with_sharding_constraint(x, rows)
-    K = kernel_fn(xr[:, None], x[None, :])
-    K = K + noise_var * jnp.eye(n, dtype=K.dtype)
-    K = jax.lax.with_sharding_constraint(
-        K, NamedSharding(mesh, P(axis, None))
+    ndev = mesh.shape[axis]
+    if n % ndev:
+        raise ValueError(f'n={n} must be divisible by devices={ndev}')
+    rows_per = n // ndev
+    # panel width must divide the per-device row count so each block's
+    # owner is a single device; shrink to the largest divisor
+    block = min(block, rows_per)
+    while rows_per % block:
+        block -= 1
+
+    def body(x, y, noise_var):
+        me = lax.axis_index(axis)
+        g_rows = _pchol._global_rows(me, rows_per, block, ndev, layout)
+        xl = jnp.take(x, g_rows)
+        K_local = kernel_fn(xl[:, None], x[None, :])
+        K_local = K_local.at[
+            jnp.arange(rows_per), g_rows
+        ].add(jnp.asarray(noise_var, K_local.dtype))
+        L_local = _pchol._chol_local(
+            K_local, axis=axis, block=block, n=n, ndev=ndev,
+            layout=layout,
+        )
+        z = _pchol._solve_lower_local(
+            L_local, y, axis=axis, block=block, n=n, ndev=ndev,
+            layout=layout,
+        )
+        diag = L_local[jnp.arange(rows_per), g_rows]
+        logdet = 2 * lax.psum(jnp.sum(jnp.log(diag)), axis)
+        return 0.5 * (z @ z + logdet + n * _math.log(2 * _math.pi))
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
     )
-    L = block_cholesky(K, mesh, axis=axis, block=block)
-    z = block_solve_lower(L, y, mesh, axis=axis, block=block)
-    logdet = 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    return 0.5 * (z @ z + logdet + n * _math.log(2 * _math.pi))
+    return fn(x, y, jnp.asarray(noise_var))
 
 
 def sharded_train_step(kernel_family, *, mesh):
