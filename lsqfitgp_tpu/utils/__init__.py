@@ -1,4 +1,6 @@
 """Utilities: formatting, tabulation, timing."""
 
-from ._format import uformat, format_uarray, tabulate_together
+from ._format import (
+    uformat, fmtspec_kwargs, format_uarray, tabulate_together,
+)
 from ._bench import benchmark, predtime
