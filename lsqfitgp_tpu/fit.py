@@ -162,6 +162,11 @@ class empbayes_fit:
         Raise on minimizer failure (else warn and keep last iterate).
     verbosity : int
         0 silent .. 5 chatty.
+    timing : bool
+        Record in-jit phase wall-clock spans (gp-build+decomposition
+        vs likelihood) via host-callback marks threaded through the
+        compiled objective; read them from ``.phase_timer.totals()``.
+        Adds callback latency — leave off in production fits.
 
     Attributes
     ----------
@@ -177,7 +182,7 @@ class empbayes_fit:
                  method='gradient', optimizer='scipy', initial='priormean',
                  covariance='auto', fix=None, additional_loss=None,
                  jit=True, raises=True, verbosity=0, minkw={}, mlkw={},
-                 gpfactorykw={}, forward=False, seed=0):
+                 gpfactorykw={}, forward=False, seed=0, timing=False):
         log = Logger(verbosity)
         self.log = log
         prior, pmean_prior, pdec = _parse_hyperprior(hyperprior)
@@ -206,11 +211,26 @@ class empbayes_fit:
 
         timer = {'gpbuild': _Timed(), 'fun': _Timed()}
         self._timer = timer
+        if timing:
+            # in-jit phase attribution: host timestamps recorded where
+            # the compiled program reaches each mark (reference
+            # _fit.py:41-77 token-threading design)
+            from .utils._timer import PhaseTimer, callbacks_supported
+            if callbacks_supported():
+                self.phase_timer = PhaseTimer()
+            else:
+                warnings.warn(
+                    'host callbacks unsupported on this backend; '
+                    'in-jit phase timing disabled'
+                )
+                self.phase_timer = None
+        else:
+            self.phase_timer = None
 
         def nll(w):
             # jax.profiler annotations mark the fit phases in TPU traces
-            # (the reference threads a timing token through pure_callback
-            # instead, _fit.py:41-77)
+            # in addition to the optional PhaseTimer callbacks
+            pt = self.phase_timer
             with jax.named_scope('empbayes_fit.gpbuild'):
                 hp = make_hp(w)
                 if data_callable:
@@ -221,12 +241,18 @@ class empbayes_fit:
                 gp = gpfactory(hp, **gpfactorykw)
             with jax.named_scope('empbayes_fit.decomp'):
                 dec, r = gp._prior_decomp(g, gcov, **mlkw)
+                if pt is not None:
+                    # mark on the factor itself: r is only the data
+                    # vector, it does not depend on the factorization
+                    dec._L = pt.mark(dec._L, 'gpbuild+decomp')
             with jax.named_scope('empbayes_fit.likelihood'):
                 out = dec.minus_log_normal_density(r)
                 wfree = jnp.where(fixmask, 0.0, w)
                 out = out + 0.5 * jnp.dot(wfree, wfree)
                 if additional_loss is not None:
                     out = out + additional_loss(hp)
+                if pt is not None:
+                    out = pt.mark(out, 'likelihood')
             return out
 
         self._nll = nll
@@ -365,6 +391,8 @@ class empbayes_fit:
             if method == 'nograd':
                 def f(w):
                     counts['fun'] += 1
+                    if self.phase_timer is not None:
+                        self.phase_timer.begin()
                     return float(timer['fun'].time(nll_c, jnp.asarray(w)))
                 res = scipy.optimize.minimize(
                     f, numpy.asarray(w0), method='Nelder-Mead',
@@ -374,6 +402,8 @@ class empbayes_fit:
                 def f(w):
                     counts['fun'] += 1
                     counts['jac'] += 1
+                    if self.phase_timer is not None:
+                        self.phase_timer.begin()
                     v, g = timer['fun'].time(value_and_grad, jnp.asarray(w))
                     return float(v), numpy.asarray(g, float)
                 scipy_method = kw.pop('method', 'BFGS')

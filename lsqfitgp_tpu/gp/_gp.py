@@ -366,15 +366,47 @@ class GP:
 
     def addtransf(self, tensors, key, *, axes=1):
         """Add a tensor-contraction linear transformation:
-        out = Σ_k tensordot(tensors[k], element_k, axes)
-        (reference ``_elements.py:248``)."""
+        out = Σ_k tensordot(tensors[k], element_k, axes), with scalar
+        entries broadcasting-multiplied and the per-key results summed
+        under numpy broadcasting (reference ``_elements.py:248-347``).
+
+        ``axes`` counts contracted dimensions: the trailing axes of
+        each tensor against the leading axes of its element.
+        """
+        if not (isinstance(axes, int) and axes >= 0):
+            raise ValueError(f'axes must be a nonneg integer, got {axes!r}')
         self._checkelkey(key)
+        if not tensors:
+            raise ValueError('empty tensors, undetermined output shape')
         keys = list(tensors)
         tens = []
+        shapes = []
         for k in keys:
             self._checkelkey(k, new=False)
             t = jnp.asarray(tensors[k])
+            eshape = self._elements[k].shape
+            if t.shape and t.shape[t.ndim - axes:] != eshape[:axes]:
+                raise ValueError(
+                    f'tensors[{k!r}].shape = {t.shape} cannot contract '
+                    f'{axes} axes against element shape {eshape}'
+                )
+            if self._checks['finite']:
+                def check(t=t, k=k):
+                    assert jnp.all(jnp.isfinite(t)), \
+                        f'tensors[{k!r}] contains infs/nans'
+                _jaxutil.skipifabstract(check)
             tens.append(t)
+            shapes.append(
+                t.shape[:t.ndim - axes] + eshape[axes:] if t.shape
+                else eshape
+            )
+        try:
+            jnp.broadcast_shapes(*shapes)
+        except ValueError:
+            raise ValueError(
+                f'per-key results of shapes {shapes} do not broadcast '
+                f'together'
+            ) from None
 
         def transf(*vals):
             out = None

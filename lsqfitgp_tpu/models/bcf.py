@@ -48,6 +48,41 @@ def yeojohnson_inverse(y, lmbda):
     )
 
 
+def _quantilenorm_knots(y, weights=None, max_knots=101):
+    """Knot tables for the quantile-Normal transform: matched
+    (y-quantile, Normal-quantile) pairs at probabilities (k+½)/K.
+    Ties in y are opened up by a tiny cumulative offset so the
+    interpolant is strictly monotone (finite Jacobian loss)."""
+    from jax import lax
+    from jax.scipy.special import ndtri
+
+    y = jnp.asarray(y)
+    K = min(int(y.size), max_knots)
+    probs = (jnp.arange(K) + 0.5) / K
+    if weights is None:
+        qs = jnp.quantile(y, probs)
+    else:
+        order = jnp.argsort(y)
+        ys, w = y[order], jnp.asarray(weights)[order]
+        cw = jnp.cumsum(w)
+        qs = jnp.interp(probs, (cw - 0.5 * w) / cw[-1], ys)
+    eps = 1e-9 * (qs[-1] - qs[0] + 1)
+    qs = lax.associative_scan(jnp.maximum, qs) + eps * jnp.arange(K)
+    return qs, ndtri(probs)
+
+
+def _pwl(x, xs, ys):
+    """Monotone piecewise-linear interpolant with linear tail
+    extrapolation (jnp.interp clamps at the end knots)."""
+    x = jnp.asarray(x)
+    out = jnp.interp(x, xs, ys)
+    s_lo = (ys[1] - ys[0]) / (xs[1] - xs[0])
+    s_hi = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2])
+    out = jnp.where(x < xs[0], ys[0] + s_lo * (x - xs[0]), out)
+    out = jnp.where(x > xs[-1], ys[-1] + s_hi * (x - xs[-1]), out)
+    return out
+
+
 class bcf:
     """GP version of Bayesian Causal Forests.
 
@@ -62,7 +97,8 @@ class bcf:
     include_pi : {'mu', 'tau', 'both'}
         Where to append pihat as a covariate.
     transf : None, str, pair, or list
-        y transformations: 'standardize', 'yeojohnson', or a custom
+        y transformations: 'standardize', 'yeojohnson', 'quantilenorm'
+        (empirical-quantile -> standard-Normal map), or a custom
         ``(from_data(hp, y), to_data(hp, eta))`` pair; lists compose.
     marginalize_mean : bool
         Marginalize the global mean analytically.
@@ -372,6 +408,14 @@ class bcf:
                 td = lambda hp, e, key=key: yeojohnson_inverse(e, hp[key])
                 d = copula.makedict({key: 2.0 * copula.beta(2.0, 2.0)})
                 hypers.update({k: d[k] for k in d.keys()})
+            elif tr == 'quantilenorm':
+                # empirical-quantile -> standard-Normal map: eta =
+                # Phi^-1(F_y(y)), realized as a monotone piecewise-linear
+                # interpolant between training-quantile knots so it acts
+                # on one point at a time and generalizes out of sample
+                knots, etas = _quantilenorm_knots(y, weights)
+                fd = lambda hp, y, k=knots, e=etas: _pwl(y, k, e)
+                td = lambda hp, eta, k=knots, e=etas: _pwl(eta, e, k)
             else:
                 raise KeyError(tr)
             from_datas.append(fd)

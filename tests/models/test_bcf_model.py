@@ -68,3 +68,38 @@ def test_bcf_include_pi_tau(causal_data):
     m = bcf(y=y, z=z, x_mu=x, x_tau=x, pihat=pihat, include_pi='both',
             fitkw=FITKW, kernelkw_mu=KKW, kernelkw_tau=KKW)
     assert np.isfinite(float(m.sigma.mean))
+
+
+def test_bcf_quantilenorm(causal_data):
+    # quantile-Normal y transform: eta must look standard-Normal-ish
+    # and the round trip must reproduce y
+    x, y, z, pihat, true_tau = causal_data
+    m = bcf(y=y, z=z, x_mu=x, pihat=pihat, fitkw=FITKW,
+            kernelkw_mu=KKW, kernelkw_tau=KKW, transf='quantilenorm')
+    eta = np.asarray(m.from_data(y))
+    assert abs(np.mean(eta)) < 0.3
+    assert 0.5 < np.std(eta) < 1.5
+    yy = np.asarray(m.to_data(eta))
+    np.testing.assert_allclose(yy, np.asarray(y), rtol=1e-4, atol=1e-4)
+    # monotone
+    order = np.argsort(np.asarray(y))
+    assert np.all(np.diff(eta[order]) >= 0)
+    u = m.pred()
+    assert u.shape == y.shape
+
+
+def test_quantilenorm_helpers(rng):
+    from lsqfitgp_tpu.models.bcf import _quantilenorm_knots, _pwl
+    y = np.concatenate([rng.standard_normal(50) * 2 + 1,
+                        np.full(10, 0.5)])  # with ties
+    knots, etas = _quantilenorm_knots(jnp.asarray(y))
+    k = np.asarray(knots)
+    assert np.all(np.diff(k) > 0)  # strictly monotone despite ties
+    # extrapolation beyond the knots is linear, not clamped
+    e = _pwl(jnp.asarray([k[0] - 1.0, k[-1] + 1.0]), knots, etas)
+    assert float(e[0]) < float(etas[0])
+    assert float(e[1]) > float(etas[-1])
+    # weighted variant
+    w = rng.uniform(0.5, 2.0, y.size)
+    knots_w, _ = _quantilenorm_knots(jnp.asarray(y), jnp.asarray(w))
+    assert np.all(np.diff(np.asarray(knots_w)) > 0)

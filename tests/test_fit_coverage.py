@@ -95,3 +95,61 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state['p']['log(scale)'].mean),
         np.asarray(fit.p['log(scale)'].mean), rtol=1e-12)
+
+
+def test_in_jit_phase_timing(rng):
+    # timing=True threads host-callback marks through the compiled
+    # objective; spans must be recorded for both phases
+    import numpy as np
+    from lsqfitgp_tpu import GP, empbayes_fit
+    from lsqfitgp_tpu.kernels import ExpQuad
+    import jax.numpy as jnp
+
+    x = np.sort(rng.uniform(-3, 3, 15))
+    y = np.sin(x) + 0.1 * rng.standard_normal(15)
+
+    def gpf(hp):
+        return (
+            GP(ExpQuad(scale=hp['scale']))
+            .addx(x, 'f').addcov(0.01 * jnp.eye(15), 'e')
+            .addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                          checklin=False)
+        )
+
+    fit = empbayes_fit({'log(scale)': (0.0, 1.0)}, gpf, {'y': y},
+                       timing=True, raises=False,
+                       minkw=dict(options=dict(maxiter=5)))
+    tot = fit.phase_timer.totals()
+    assert set(tot) == {'gpbuild+decomp', 'likelihood'}
+    assert all(v >= 0 for v in tot.values())
+    assert fit.phase_timer.counts()['likelihood'] >= 1
+
+
+def test_addtransf_validation(rng):
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest as pt
+    from lsqfitgp_tpu import GP
+    from lsqfitgp_tpu.kernels import ExpQuad
+
+    gp = GP(ExpQuad()).addx(np.linspace(0, 1, 5), 'a') \
+                      .addx(np.linspace(0, 1, 3), 'b')
+    with pt.raises(ValueError):
+        gp.addtransf({}, 'c')
+    with pt.raises(ValueError):
+        gp.addtransf({'a': np.ones((2, 4))}, 'c')  # 4 != 5
+    with pt.raises(ValueError):
+        gp.addtransf({'a': np.ones((2, 5)), 'b': np.ones((3, 3))}, 'c')
+    with pt.raises(ValueError):
+        gp.addtransf({'a': np.ones(5)}, 'c', axes=-1)
+    with pt.raises(AssertionError):
+        gp.addtransf({'a': np.full(5, np.nan)}, 'c')
+    # matrix + scalar with broadcasting
+    T = rng.standard_normal((3, 5))
+    gp2 = gp.addtransf({'a': T, 'b': 2.0}, 'c')
+    K = np.asarray(gp2.prior('c', raw=True))
+    Ka = np.asarray(gp.prior('a', raw=True))
+    Kb = np.asarray(gp.prior('b', raw=True))
+    Kab = np.asarray(gp._assemble(['a'], ['b']))
+    want = T @ Ka @ T.T + 4.0 * Kb + 2.0 * (T @ Kab) + 2.0 * (T @ Kab).T
+    np.testing.assert_allclose(K, want, rtol=1e-6, atol=1e-8)
