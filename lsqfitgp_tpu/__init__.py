@@ -18,6 +18,8 @@ __version__ = '0.1.0'
 from ._array import (
     StructuredArray, asarray, broadcast_to, broadcast_arrays,
     broadcast_shapes, concatenate, unstructured_to_structured,
+    structured_to_unstructured, append_fields, ix_, swapaxes, empty,
+    empty_like,
 )
 from ._deriv import Deriv
 from ._config import default_float, disable_checks, set_checks
@@ -125,6 +127,8 @@ def fmtspec_kwargs(spec):
 
 __all__ = [
     'StructuredArray', 'asarray', 'Deriv', 'GP', 'DefaultProcess',
+    'structured_to_unstructured', 'unstructured_to_structured',
+    'append_fields', 'ix_', 'swapaxes', 'empty', 'empty_like',
     'CrossKernel', 'Kernel', 'StationaryKernel', 'IsotropicKernel',
     'kernel', 'crosskernel', 'stationarykernel', 'isotropickernel',
     'crossstationarykernel', 'crossisotropickernel',

@@ -220,12 +220,46 @@ class StructuredArray:
                 newfields[name] = jnp.broadcast_to(v, shape + tail)
         return StructuredArray(newfields, self._tails, shape)
 
+    def swapaxes(self, i, j):
+        """Swap two base axes (field tail axes are untouched)."""
+        nd = self.ndim
+        i, j = i % nd, j % nd
+        newfields = {}
+        for name, v in self._fields.items():
+            tail = self._tails[name]
+            if isinstance(v, StructuredArray):
+                newfields[name] = v.swapaxes(i, j)
+            else:
+                newfields[name] = jnp.swapaxes(v, i, j)
+        shape = list(self._shape)
+        shape[i], shape[j] = shape[j], shape[i]
+        return StructuredArray(newfields, self._tails, tuple(shape))
+
     # -- numpy interop -------------------------------------------------------
 
     def __array__(self, dtype=None, copy=None):
         out = numpy.empty(self._shape, self.dtype)
         self._fill_numpy(out)
         return out
+
+    _np_impls = {}
+
+    @classmethod
+    def _register_np(cls, *np_functions):
+        """Route the given numpy functions through the
+        ``__array_function__`` protocol (reference ``_array.py:389-411``
+        interop surface)."""
+        def deco(fn):
+            for np_fn in np_functions:
+                cls._np_impls[np_fn] = fn
+            return fn
+        return deco
+
+    def __array_function__(self, func, types, args, kwargs):
+        impl = self._np_impls.get(func)
+        if impl is None:
+            return NotImplemented
+        return impl(*args, **kwargs)
 
     def _fill_numpy(self, out):
         for name, v in self._fields.items():
@@ -484,3 +518,114 @@ def unstructured_to_structured(x, dtype=None, names=None):
         None,
         x.shape[:-1],
     )
+
+
+def structured_to_unstructured(x, dtype=None):
+    """Flatten all leaf fields (including subarray tails, recursing into
+    nested structured fields) into a trailing axis.  Counterpart of
+    ``numpy.lib.recfunctions.structured_to_unstructured`` (reference
+    ``_array.py:542``)."""
+    cols = []
+
+    def visit(v):
+        if isinstance(v, StructuredArray):
+            for name in v.fields:
+                visit(v[name])
+        else:
+            a = jnp.asarray(v)
+            cols.append(a.reshape(x.shape + (-1,)))
+
+    visit(x)
+    out = jnp.concatenate(cols, axis=-1)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def append_fields(base, names, data):
+    """New StructuredArray with extra fields appended (counterpart of
+    ``numpy.lib.recfunctions.append_fields``, reference
+    ``_array.py:679``)."""
+    if isinstance(names, str):
+        names = [names]
+        data = [data]
+    out = base
+    for name, v in zip(names, data):
+        if name in out.fields:
+            raise ValueError(f'field {name!r} already present')
+        out = out.at[name].set(jnp.asarray(v))
+    return out
+
+
+def ix_(*arrays):
+    """Open-mesh broadcasting of 1-D (possibly structured) index/sample
+    arrays: the i-th output has shape (1, ..., n_i, ..., 1)
+    (counterpart of ``numpy.ix_``, reference ``_array.py:478``)."""
+    out = []
+    k = len(arrays)
+    for i, a in enumerate(arrays):
+        a = asarray(a)
+        if a.ndim != 1:
+            raise ValueError(f'argument {i} is not 1-D')
+        shape = (1,) * i + (a.shape[0],) + (1,) * (k - i - 1)
+        out.append(a.reshape(shape))
+    return tuple(out)
+
+
+def swapaxes(x, i, j):
+    if isinstance(x, StructuredArray):
+        return x.swapaxes(i, j)
+    return jnp.swapaxes(x, i, j)
+
+
+def _zeros_field(shape, dt):
+    """(fields, tails) of zeros for a numpy structured dtype."""
+    fields, tails = {}, {}
+    for name in dt.names:
+        ft = dt.fields[name][0]
+        if ft.subdtype is not None:
+            sub, tail = ft.subdtype
+        else:
+            sub, tail = ft, ()
+        if sub.names is not None:
+            f2, t2 = _zeros_field(shape + tail, sub)
+            fields[name] = StructuredArray(f2, t2, shape + tail)
+        else:
+            fields[name] = jnp.zeros(shape + tail, sub)
+        tails[name] = tail
+    return fields, tails
+
+
+def empty(shape, dtype):
+    """StructuredArray of zeros with the given structured dtype
+    ('empty' in name for numpy parity; values are deterministic zeros,
+    reference ``_array.py:609``)."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    dt = numpy.dtype(dtype)
+    if dt.names is None:
+        return jnp.zeros(shape, dt)
+    fields, tails = _zeros_field(tuple(shape), dt)
+    return StructuredArray(fields, tails, tuple(shape))
+
+
+def empty_like(x):
+    if isinstance(x, StructuredArray):
+        return empty(x.shape, x.dtype)
+    return jnp.zeros_like(x)
+
+
+# numpy-function protocol routing (numpy.fn(structured_array, ...) and
+# the like= variants dispatch here)
+StructuredArray._register_np(numpy.broadcast_to)(broadcast_to)
+StructuredArray._register_np(numpy.broadcast_arrays)(broadcast_arrays)
+StructuredArray._register_np(numpy.concatenate)(concatenate)
+StructuredArray._register_np(numpy.squeeze)(
+    lambda x, axis=None: x.squeeze(axis))
+StructuredArray._register_np(numpy.swapaxes)(swapaxes)
+StructuredArray._register_np(numpy.ix_)(ix_)
+StructuredArray._register_np(numpy.empty)(
+    lambda shape, dtype=float, *, like=None: empty(shape, dtype))
+StructuredArray._register_np(numpy.empty_like)(empty_like)
+from numpy.lib import recfunctions as _recfunctions
+StructuredArray._register_np(
+    _recfunctions.structured_to_unstructured
+)(structured_to_unstructured)

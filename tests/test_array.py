@@ -124,3 +124,73 @@ def test_reshape_squeeze():
 def test_shape_mismatch_raises():
     with pytest.raises(ValueError):
         StructuredArray({'a': jnp.zeros(3), 'b': jnp.zeros(4)})
+
+
+class TestNumpyInterop:
+    """__array_function__ protocol + recfunctions-style helpers
+    (reference _array.py:389-700 interop surface)."""
+
+    def _mk(self, rng, n=6):
+        import lsqfitgp_tpu as lgp
+        x = np.empty(n, dtype=[('a', float), ('b', float, (2,))])
+        x['a'] = rng.standard_normal(n)
+        x['b'] = rng.standard_normal((n, 2))
+        return lgp.asarray(x)
+
+    def test_swapaxes(self, rng):
+        import lsqfitgp_tpu as lgp
+        s = self._mk(rng).reshape(2, 3)
+        t = np.swapaxes(s, 0, 1)
+        assert t.shape == (3, 2)
+        np.testing.assert_array_equal(
+            np.asarray(t['a']), np.asarray(s['a']).T)
+        # tail axes untouched
+        assert t['b'].shape == (3, 2, 2)
+
+    def test_ix_(self, rng):
+        import lsqfitgp_tpu as lgp
+        s = self._mk(rng, 4)
+        t = self._mk(rng, 3)
+        A, B = np.ix_(s, t)
+        assert A.shape == (4, 1) and B.shape == (1, 3)
+        with pytest.raises(ValueError):
+            np.ix_(s.reshape(2, 2))
+
+    def test_squeeze_protocol(self, rng):
+        s = self._mk(rng, 4).reshape(1, 4)
+        assert np.squeeze(s).shape == (4,)
+
+    def test_empty(self):
+        import lsqfitgp_tpu as lgp
+        dt = np.dtype([('u', float), ('v', float, (3,)),
+                       ('w', [('x', float)])])
+        e = lgp.empty((2, 5), dt)
+        assert e.shape == (2, 5)
+        assert e['v'].shape == (2, 5, 3)
+        assert e['w']['x'].shape == (2, 5)
+        e2 = lgp.empty_like(e)
+        assert e2.shape == e.shape and e2.dtype == e.dtype
+
+    def test_structured_to_unstructured(self, rng):
+        import lsqfitgp_tpu as lgp
+        s = self._mk(rng, 5)
+        u = lgp.structured_to_unstructured(s)
+        assert u.shape == (5, 3)
+        np.testing.assert_allclose(np.asarray(u[:, 0]),
+                                   np.asarray(s['a']))
+        np.testing.assert_allclose(np.asarray(u[:, 1:]),
+                                   np.asarray(s['b']))
+
+    def test_append_fields(self, rng):
+        import lsqfitgp_tpu as lgp
+        s = self._mk(rng, 5)
+        t = lgp.append_fields(s, 'c', rng.standard_normal(5))
+        assert t.fields == ('a', 'b', 'c')
+        with pytest.raises(ValueError):
+            lgp.append_fields(t, 'c', np.zeros(5))
+
+    def test_concatenate_protocol(self, rng):
+        s = self._mk(rng, 3)
+        t = self._mk(rng, 4)
+        c = np.concatenate([s, t])
+        assert c.shape == (7,)
