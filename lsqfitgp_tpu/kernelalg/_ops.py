@@ -183,6 +183,12 @@ def dim(dim):
             raise ValueError(
                 f'cannot take dim={dim!r} of non-structured input'
             )
+        wanted = [dim] if isinstance(dim, str) else dim
+        missing = [d for d in wanted if d not in x.fields]
+        if missing:
+            raise ValueError(
+                f'dim={missing!r} not among input fields {x.fields!r}'
+            )
         if isinstance(dim, str) and x._tails[dim]:
             return x[[dim]]
         return x[dim]

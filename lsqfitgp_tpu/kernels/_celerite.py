@@ -67,6 +67,14 @@ def Harmonic(delta, Q=1):
     tau = jnp.abs(delta)
 
     if isinstance(Q, (int, float)):
+        # near-1 window in the WORKING dtype: e.g. Q = 1 + 1e-12 in
+        # float32 makes sqrt(Q² − 1) collapse to 0 and sin(η τ)/η to
+        # NaN; inside |Q − 1| < √eps use the first-order-in-(1−Q)
+        # Matérn-3/2 formulation (error O((1−Q)²) < eps)
+        import math
+        dt = jnp.result_type(tau.dtype, jnp.float32)
+        if abs(Q - 1) < math.sqrt(float(jnp.finfo(dt).eps)):
+            return _harmonic_q1(tau, Q)
         if Q < 1 / 2:
             etaQ = jnp.sqrt((1 - Q) * (1 + Q))
             tauQ = tau / Q
@@ -78,8 +86,6 @@ def Harmonic(delta, Q=1):
             tauQ = tau / Q
             etatau = etaQ * tauQ
             return jnp.exp(-tauQ) * (jnp.cosh(etatau) + jnp.sinh(etatau) / etaQ)
-        elif Q == 1:
-            return _harmonic_q1(tau, Q)
         else:
             etaQ = jnp.sqrt(jnp.square(Q) - 1)
             tauQ = tau / Q

@@ -37,7 +37,7 @@ def Maternp(r2, p=None):
     _jaxutil.skipifabstract(check)
     r2 = (2 * p + 1) * r2
     # +tiny keeps sqrt differentiable at zero distance
-    return kvmodx2_hi(r2 + 1e-30, int(p))
+    return kvmodx2_hi(r2, int(p))
 
 
 def _matern_derivable(nu=None):

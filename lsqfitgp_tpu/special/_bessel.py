@@ -8,6 +8,9 @@ series/asymptotic branches that compile to XLA.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 from jax import numpy as jnp
 
 __all__ = ['j0', 'kv_half', 'kvmodx2_hi']
@@ -70,6 +73,7 @@ def kv_half(p, x):
     return jnp.sqrt(jnp.pi / (2 * x)) * jnp.exp(-x) * acc
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
 def kvmodx2_hi(x2, p):
     """The Matérn half-integer normalized profile as a function of the
     *squared* scaled distance: with x = sqrt(x2),
@@ -77,9 +81,12 @@ def kvmodx2_hi(x2, p):
     f(x) = 2^{1-ν}/Γ(ν) x^ν K_ν(x),  ν = p + 1/2
          = e^{-x} p!/(2p)! Σ_{i=0}^p (p+i)!/(i!(p-i)!) (2x)^{p-i}
 
-    Taking x2 (not x) keeps the function analytic in x2 so derivatives at
-    zero distance are exact (reference ``_special/_bessel.py`` kvmodx2_hi).
-    ``p`` static nonnegative int.
+    ``p`` static nonnegative int.  The derivative w.r.t. x2 uses the
+    exact recurrence d/dx² f_ν = −f_{ν−1}/(4(ν−1)) (custom JVP): AD
+    through sqrt(x2) instead produces 1/√x2-singular terms that cancel
+    only analytically, so kernel derivatives at zero distance would be
+    catastrophically wrong (reference ``_special/_bessel.py``
+    kvmodx2_hi semantics).
     """
     import math
     x2 = _float(x2)
@@ -90,3 +97,20 @@ def kvmodx2_hi(x2, p):
         c = math.factorial(p + i) / (math.factorial(i) * math.factorial(p - i))
         acc = acc + c * (2 * x) ** (p - i)
     return pref * jnp.exp(-x) * acc
+
+
+@kvmodx2_hi.defjvp
+def _kvmodx2_hi_jvp(p, primals, tangents):
+    (x2,), (t,) = primals, tangents
+    primal = kvmodx2_hi(x2, p)
+    if p >= 1:
+        # ν = p + 1/2: −f_{ν−1}/(4(ν−1)) = −f_{p−1}/(2(2p−1)),
+        # regular at x2 = 0 and recursively differentiable
+        tangent = -kvmodx2_hi(x2, p - 1) / (2 * (2 * p - 1)) * t
+    else:
+        # ν = 1/2 (exponential kernel): d/dx² e^{−√x2} = −e^{−x}/(2x),
+        # genuinely singular at zero distance
+        x2f = _float(x2)
+        x = jnp.sqrt(jnp.maximum(x2f, jnp.finfo(x2f.dtype).tiny))
+        tangent = -jnp.exp(-x) / (2 * x) * t
+    return primal, tangent

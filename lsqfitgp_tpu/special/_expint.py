@@ -66,53 +66,41 @@ def _expn_imag_series_real(n, x, nterms=40):
     return lead - ssum
 
 
-def _expn_imag_recur_real(n, x):
-    """Re E_n(-ix) via upward recurrence from E_1(-ix), x ~ O(1)."""
-    # E_1(-ix) = -Ci(x) - i (Si(x) - π/2)  for x > 0
-    re = -ci(x)
-    im = -(si(x) - math.pi / 2)
-    cos = jnp.cos(x)
-    sin = jnp.sin(x)
-    for m in range(1, n):
-        # E_{m+1}(z) = (e^{-z} - z E_m(z)) / m, with z = -ix:
-        # e^{ix} + ix E_m, components:
-        re, im = (cos - x * im) / m, (sin + x * re) / m
-    return re
+def _expn_imag_cf_real(n, x, iters=130):
+    """Re E_n(-ix) by the modified-Lentz continued fraction
 
+        E_n(z) = e^{-z} / (z + n/(1 + 1/(z + (n+1)/(1 + 2/(z + ...)))))
 
-def _expn_imag_asymp_real(n, x, nterms=26):
-    """Re E_n(-ix) via the large-|z| asymptotic expansion
-    E_n(z) ~ e^{-z}/z · sum_k (-1)^k (n)_k / z^k."""
-    # z = -ix; 1/z = i/x; e^{-z} = e^{ix}; (-1)^k / z^k = (-i/x)^k
-    # E_n = e^{ix} (i/x) Σ_k (n)_k (-i/x)^k
-    inv_re = jnp.zeros_like(x)
-    inv_im = -1.0 / x
-    s_re = jnp.zeros_like(x)
-    s_im = jnp.zeros_like(x)
-    t_re = jnp.ones_like(x)
-    t_im = jnp.zeros_like(x)
-    poch = 1.0
-    for k in range(nterms):
-        if k > 0:
-            poch *= (n + k - 1)
-            t_re, t_im = (
-                t_re * inv_re - t_im * inv_im,
-                t_re * inv_im + t_im * inv_re,
-            )
-        s_re = s_re + poch * t_re
-        s_im = s_im + poch * t_im
-    # multiply by e^{ix} (i/x)  [note: +i/x, unlike the series factor]
-    cos = jnp.cos(x)
-    sin = jnp.sin(x)
-    pos_im = 1.0 / x
-    pre_re = -sin * pos_im
-    pre_im = cos * pos_im
-    return pre_re * s_re - pre_im * s_im
+    with z = -ix.  Converges for x ≳ 1 with near-machine accuracy in
+    the working dtype — unlike the upward recurrence from E_1, whose
+    error is amplified ~x^{n-1}/(n-1)! (fatal in float32 already at
+    x ~ 20, n ~ 5)."""
+    from jax import lax
+
+    z = lax.complex(jnp.zeros_like(x), -x)
+    b0 = z + n
+    d0 = 1.0 / b0
+    c0 = jnp.full_like(z, 1e30)
+    h0 = d0
+
+    def body(i, carry):
+        b, c, d, h = carry
+        a = (-i * (n - 1 + i)).astype(z.dtype)
+        b = b + 2
+        d = 1.0 / (a * d + b)
+        c = b + a / c
+        h = h * (c * d)
+        return b, c, d, h
+
+    _, _, _, h = lax.fori_loop(
+        1, iters + 1, body, (b0, c0, d0, h0), unroll=8
+    )
+    return (h * jnp.exp(-z)).real
 
 
 def expn_imag_real(n, x):
     """Re E_n(-i x) = ∫_1^∞ cos(x t) / t^n dt for static integer n ≥ 2,
-    real x ≥ 0.  Series / recurrence / asymptotic branches."""
+    real x ≥ 0.  Power series below x = 1, continued fraction above."""
     assert int(n) == n and n >= 2, n
     n = int(n)
     x = jnp.asarray(x)
@@ -121,7 +109,6 @@ def expn_imag_real(n, x):
     tiny = eps  # below this, return the exact limit 1/(n-1)
     xs = jnp.maximum(x, tiny)
     small = _expn_imag_series_real(n, jnp.where(xs < 1, xs, 0.5))
-    mid = _expn_imag_recur_real(n, jnp.where((xs >= 1) & (xs < 35), xs, 5.0))
-    large = _expn_imag_asymp_real(n, jnp.where(xs >= 35, xs, 100.0))
-    out = jnp.where(xs < 1, small, jnp.where(xs < 35, mid, large))
+    large = _expn_imag_cf_real(n, jnp.where(xs >= 1, xs, 5.0))
+    out = jnp.where(xs < 1, small, large)
     return jnp.where(x < tiny, 1.0 / (n - 1), out)

@@ -70,20 +70,50 @@ def _kv_series(nu, x):
     )
 
 
-def _kv_quad(nu, x):
-    """K_ν(x) = e^{−x} ∫_0^∞ e^{−x(cosh t − 1)} cosh(νt) dt by 100-point
-    Gauss-Legendre on [0, tmax]; robust for x ≳ 5, any moderate ν."""
+def _acosh1p(u):
+    """arccosh(1 + u), overflow-safe for huge u (the naive form squares
+    u, which overflows float32 already at u ~ 1e19)."""
+    us = jnp.minimum(u, 1e6)
+    small = jnp.log1p(us + jnp.sqrt(us * (us + 2.0)))
+    large = jnp.log(2.0) + jnp.log(jnp.maximum(u, 1.0))
+    return jnp.where(u < 1e6, small, large)
+
+
+def _logcosh(z):
+    """log cosh z without overflow: |z| + log1p(e^{−2|z|}) − log 2."""
+    a = jnp.abs(z)
+    return a + jnp.log1p(jnp.exp(-2 * a)) - jnp.log(2.0)
+
+
+def _kv_quad_scaled(nu, x, logpref=None):
+    """e^{logpref} K_ν(x) with the prefactor FUSED into the quadrature
+    exponent: K_ν(x) = e^{−x} ∫_0^∞ e^{−x(cosh t − 1)} cosh(νt) dt by
+    100-point Gauss-Legendre on [0, tmax].
+
+    For x → 0, K_ν ~ x^{−ν} overflows float32 around x ~ 1e-14 while a
+    typical Matérn prefactor e^{logpref} ~ x^ν underflows — computed
+    separately their product is 0·inf = NaN, which then poisons masked
+    derivative chains at zero distance; fused per-node the exponent is
+    moderate.  All internal quantities are overflow-guarded."""
+    # floor x so 45/x cannot overflow (K_ν there is astronomically
+    # large anyway; only masked-out branches ever see such x)
+    x = jnp.maximum(x, 1e3 * jnp.finfo(x.dtype).tiny)
     # choose tmax so x(cosh t − 1) − νt ≈ 45 (integrand < e^{-45})
-    t0 = jnp.arccosh(1 + 45.0 / x)
-    t1 = jnp.arccosh(1 + (45.0 + nu * t0) / x)
-    tmax = t1
+    t0 = _acosh1p(45.0 / x)
+    tmax = _acosh1p((45.0 + nu * t0) / x)
     t = 0.5 * tmax[..., None] * (_GL_X + 1.0)
     w = 0.5 * tmax[..., None] * _GL_W
-    f = jnp.exp(
-        -x[..., None] * (jnp.cosh(t) - 1) + jnp.log(jnp.cosh(
-            nu[..., None] * t))
-    )
-    return jnp.exp(-x) * jnp.sum(w * f, axis=-1)
+    big = jnp.finfo(x.dtype).max / 4
+    cosh_m1 = jnp.minimum(jnp.cosh(t) - 1, big)
+    e = -(x[..., None] * cosh_m1 + x[..., None]) \
+        + _logcosh(nu[..., None] * t)
+    if logpref is not None:
+        e = e + logpref[..., None]
+    return jnp.sum(w * jnp.exp(e), axis=-1)
+
+
+def _kv_quad(nu, x):
+    return _kv_quad_scaled(nu, x)
 
 
 def kv(nu, x):
@@ -105,28 +135,45 @@ def kvmodx2(nu, x2):
     """Matérn profile 2^{1−ν}/Γ(ν) x^ν K_ν(x) as a function of x² (so
     it is analytic in x² and equals 1 at x² = 0)."""
     x2 = jnp.asarray(x2, float)
-    x = jnp.sqrt(jnp.maximum(x2, jnp.finfo(float).tiny))
+    x = jnp.sqrt(jnp.maximum(x2, jnp.finfo(x2.dtype).tiny))
     lpref = (1 - nu) * jnp.log(2.0) - jspecial.gammaln(nu) \
         + nu * jnp.log(x)
-    val = jnp.exp(lpref) * kv(nu, x)
+    lpref, xb = jnp.broadcast_arrays(lpref, x)
+    val = _kv_quad_scaled(jnp.abs(jnp.zeros_like(xb) + nu), xb, lpref)
     # ν = 0 limit is white noise: 1 at 0, 0 elsewhere
     val = jnp.where(nu == 0, jnp.where(x2 == 0, 1.0, 0.0), val)
-    return jnp.where(x2 <= jnp.finfo(float).tiny, 1.0, val)
+    return jnp.where(x2 <= jnp.finfo(x2.dtype).tiny, 1.0, val)
 
 
 @kvmodx2.defjvp
 def _kvmodx2_jvp(nu, primals, tangents):
     (x2,), (t,) = primals, tangents
     primal = kvmodx2(nu, x2)
-    # using d/dx [x^ν K_ν(x)] = −x^ν K_{ν−1}(x) and K_{−μ} = K_μ:
+    try:
+        nu_gt1 = float(nu) > 1
+    except TypeError:  # traced order: combine both branches
+        nu_gt1 = None
+    if nu_gt1 or nu_gt1 is None:
+        # exact recurrence d/dx² f_ν = −f_{ν−1}/(4(ν−1)): regular at
+        # x² = 0 (value −1/(4(ν−1))) and recursively differentiable, so
+        # higher kernel derivatives at zero distance come out exact
+        rec = -kvmodx2(abs(nu - 1), x2) / (4 * (nu - 1)) * t
+        if nu_gt1:
+            return primal, rec
+    # ν ≤ 1: the derivative is genuinely singular at x = 0 (the Matérn
+    # process is not mean-square differentiable); raw form
     # d/dx² f_ν = −(1/2) 2^{1−ν}/Γ(ν) x^{ν−1} K_{|ν−1|}(x),
-    # valid for all ν > 0 (log-singular at x = 0 when ν ≤ 1, correctly:
-    # the Matérn process is not differentiable there)
-    x = jnp.sqrt(jnp.maximum(x2, jnp.finfo(float).tiny))
+    # prefactor fused into the quadrature (see _kv_quad_scaled)
+    x = jnp.sqrt(jnp.maximum(x2, jnp.finfo(x2.dtype).tiny))
     lpref = (1 - nu) * jnp.log(2.0) - jspecial.gammaln(nu) \
         + (nu - 1) * jnp.log(x)
-    tangent = -0.5 * jnp.exp(lpref) * kv(abs(nu - 1), x) * t
-    return primal, tangent
+    lpref, xb = jnp.broadcast_arrays(lpref, x)
+    raw = -0.5 * _kv_quad_scaled(
+        jnp.abs(jnp.zeros_like(xb) + (nu - 1)), xb, lpref
+    ) * t
+    if nu_gt1 is None:
+        return primal, jnp.where(nu > 1, rec, raw)
+    return primal, raw
 
 
 # -- Bessel J of fractional order ------------------------------------------
@@ -179,7 +226,7 @@ def jvmodx2(nu, x2):
     x = jnp.sqrt(jnp.maximum(x2, jnp.finfo(float).tiny))
     lpref = jspecial.gammaln(nu + 1) + nu * (jnp.log(2.0) - jnp.log(x))
     val = jnp.exp(lpref) * jv(nu, x)
-    return jnp.where(x2 <= jnp.finfo(float).tiny, 1.0, val)
+    return jnp.where(x2 <= jnp.finfo(x2.dtype).tiny, 1.0, val)
 
 
 @jvmodx2.defjvp

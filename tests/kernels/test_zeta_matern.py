@@ -10,6 +10,8 @@ import pytest
 import scipy.special as sps
 
 import lsqfitgp_tpu as lgp
+
+from util import tol
 from lsqfitgp_tpu import uncert
 from lsqfitgp_tpu.special import zeta_real, periodic_zeta, kv, kvmodx2
 
@@ -20,7 +22,7 @@ class TestSpecials:
         for s in [-10.5, -3.3, -0.7, 0.3, 0.9, 1.5, 2.4, 2.6, 12.0]:
             want = float(mpmath.zeta(s))
             got = float(zeta_real(s))
-            np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(got, want, **tol(1e-8, 1e-10, rtol32=2e-5, atol32=1e-6))
 
     def test_periodic_zeta_vs_mpmath(self):
         for s in [1.5, 3.0, 4.7, 11.0, 20.0]:
@@ -28,16 +30,25 @@ class TestSpecials:
                 v = mpmath.polylog(s, mpmath.e ** (2j * mpmath.pi * x))
                 got_r = float(periodic_zeta(jnp.asarray(x), s))
                 got_i = float(periodic_zeta(jnp.asarray(x), s, True))
-                np.testing.assert_allclose(got_r, float(v.real),
-                                           rtol=1e-6, atol=1e-6)
-                np.testing.assert_allclose(got_i, float(v.imag),
-                                           rtol=1e-6, atol=1e-6)
+                # f32: the small-s Hurwitz expansion loses ~3 digits
+                # (known limitation, see special/_zeta.py)
+                np.testing.assert_allclose(
+                    got_r, float(v.real),
+                    **tol(1e-6, 1e-6, rtol32=5e-3, atol32=5e-3))
+                np.testing.assert_allclose(
+                    got_i, float(v.imag),
+                    **tol(1e-6, 1e-6, rtol32=5e-3, atol32=5e-3))
 
     def test_kv_vs_scipy(self):
+        from util import is_f32
         for nu in [0.0, 0.5, 1.0, 2.7, 9.5]:
             for x in [1e-4, 0.5, 5.0, 50.0, 300.0]:
+                want = sps.kv(nu, x)
+                if is_f32() and not 1e-37 < abs(want) < 1e37:
+                    continue  # outside float32 representable range
                 np.testing.assert_allclose(
-                    float(kv(nu, x)), sps.kv(nu, x), rtol=1e-8,
+                    float(kv(nu, x)), want,
+                    **tol(1e-8, rtol32=1e-4),
                     err_msg=f'nu={nu} x={x}',
                 )
 
@@ -50,7 +61,7 @@ class TestSpecials:
 
         h = 1e-6
         fd = (f(0.5 + h) - f(0.5 - h)) / (2 * h)
-        np.testing.assert_allclose(g, fd, rtol=1e-5)
+        np.testing.assert_allclose(g, fd, **tol(1e-5, rtol32=3e-3))
 
 
 class TestMatern:
@@ -63,7 +74,7 @@ class TestMatern:
         with np.errstate(invalid='ignore'):
             want = 2 ** (1 - nu) / sps.gamma(nu) * d ** nu * sps.kv(nu, d)
         want[d == 0] = 1
-        np.testing.assert_allclose(K, want, rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(K, want, **tol(1e-7, 1e-10, rtol32=2e-5, atol32=2e-6))
         assert np.linalg.eigvalsh(K).min() > -1e-9
 
     def test_bessel_vs_scipy(self, rng):
@@ -75,7 +86,7 @@ class TestMatern:
         with np.errstate(invalid='ignore', divide='ignore'):
             want = sps.gamma(nu + 1) * (2 / d) ** nu * sps.jv(nu, d)
         want[d == 0] = 1
-        np.testing.assert_allclose(K, want, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(K, want, **tol(1e-6, 1e-9, rtol32=1e-3, atol32=1e-4))
 
     def test_matern_deriv_psd(self, rng):
         x = np.sort(rng.uniform(-2, 2, 10))
@@ -90,8 +101,10 @@ class TestZeta:
     def test_psd_and_diag(self, rng):
         x = np.linspace(0, 1, 17)
         K = np.asarray(lgp.Zeta(nu=1.5)(x[:, None], x[None, :]))
-        np.testing.assert_allclose(np.diag(K), 1, rtol=1e-8)
-        assert np.linalg.eigvalsh(K).min() > -1e-9
+        np.testing.assert_allclose(np.diag(K), 1,
+                                   **tol(1e-8, rtol32=1e-4))
+        assert np.linalg.eigvalsh(K.astype('f8')).min() > \
+            -1e-9 * (1 if K.dtype == np.float64 else 1e3)
 
     def test_vs_direct_series(self):
         nu = 2.0
@@ -102,7 +115,7 @@ class TestZeta:
         want = np.array([
             np.sum(np.cos(2 * np.pi * ks * d) / ks ** s) for d in x
         ]) / float(zeta_real(s))
-        np.testing.assert_allclose(K, want, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(K, want, **tol(1e-5, 1e-7, rtol32=5e-4, atol32=5e-5))
 
     def test_fourier_family(self):
         nu = 1.5
@@ -112,7 +125,7 @@ class TestZeta:
         K = np.asarray(zf(ks[:, None], ks[None, :]))
         orders = np.ceil(ks / 2)
         want = np.diag(1 / (float(zeta_real(s)) * orders ** s))
-        np.testing.assert_allclose(K, want, atol=1e-12)
+        np.testing.assert_allclose(K, want, **tol(0, 1e-12, rtol32=0, atol32=1e-6))
 
     def test_fourier_inference_roundtrip(self, rng):
         # infer Fourier coefficients from function values
@@ -145,4 +158,4 @@ class TestZeta:
         V = np.asarray(both(ks, ks))                        # variances
         recon = np.einsum('ka,k,kb->ab', C, 1 / V, C)
         direct = np.asarray(moved(x[:, None], x[None, :]))
-        np.testing.assert_allclose(recon, direct, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(recon, direct, **tol(1e-4, 1e-6, rtol32=3e-3, atol32=3e-4))

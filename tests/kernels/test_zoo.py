@@ -10,6 +10,8 @@ import scipy.special as sps
 import lsqfitgp_tpu.kernels as zoo
 from lsqfitgp_tpu import kernelalg as ka
 
+from util import tol, is_f32
+
 
 # (constructor, needs_positive_x, domain)
 KERNELS = [
@@ -76,9 +78,10 @@ class TestZoo:
         x = sample_x(rng, domain)
         K = np.asarray(k(x[:, None], x[None, :]))
         assert np.all(np.isfinite(K))
-        np.testing.assert_allclose(K, K.T, atol=1e-12, rtol=1e-10)
-        eigs = np.linalg.eigvalsh(K)
-        assert eigs.min() > -1e-8 * max(1.0, eigs.max())
+        np.testing.assert_allclose(K, K.T, **tol(1e-10, 1e-12, rtol32=1e-5, atol32=1e-5))
+        eigs = np.linalg.eigvalsh(K.astype('f8'))
+        lim = 1e-8 if not is_f32() else 1e-4
+        assert eigs.min() > -lim * max(1.0, eigs.max())
 
     def test_jittable(self, make, domain, rng):
         k = make()
@@ -90,7 +93,7 @@ class TestZoo:
 
         K1 = np.asarray(f(x[:, None], x[None, :]))
         K2 = np.asarray(k(x[:, None], x[None, :]))
-        np.testing.assert_allclose(K1, K2, rtol=5e-7, atol=1e-10)
+        np.testing.assert_allclose(K1, K2, **tol(5e-7, 1e-10, rtol32=1e-4, atol32=1e-5))
 
 
 class TestOracles:
@@ -109,19 +112,19 @@ class TestOracles:
             ref[d == 0] = 1
             k = zoo.Maternp(p=p)
             got = np.asarray(k(x[:, None, 0], x[None, :, 0]))
-            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(got, ref, **tol(1e-9, 1e-12, rtol32=1e-4, atol32=1e-5))
 
     def test_j0_vs_scipy(self):
         from lsqfitgp_tpu.special import j0
         x = np.linspace(0, 50, 1001)
         got = np.asarray(j0(jnp.asarray(x)))
-        np.testing.assert_allclose(got, sps.j0(x), atol=5e-9)
+        np.testing.assert_allclose(got, sps.j0(x), **tol(0, 5e-9, rtol32=0, atol32=1e-5))
 
     def test_ci_vs_scipy(self):
         from lsqfitgp_tpu.special import ci
         x = np.linspace(0.01, 30, 300)
         got = np.asarray(ci(jnp.asarray(x)))
-        np.testing.assert_allclose(got, sps.sici(x)[1], rtol=1e-8, atol=1e-12)
+        np.testing.assert_allclose(got, sps.sici(x)[1], **tol(1e-8, 1e-12, rtol32=1e-4, atol32=1e-5))
 
     def test_expn_imag_vs_mpmath(self):
         from lsqfitgp_tpu.special import expn_imag_real
@@ -132,7 +135,9 @@ class TestOracles:
                     float(mpmath.expint(n, -1j * x).real) if x else 1 / (n - 1)
                 )
                 got = float(expn_imag_real(n, jnp.asarray(x, jnp.float64)))
-                np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
+                # f32: the large-x asymptotic tail of E_n(ix) is accurate only in
+                # absolute terms (value ~ 1/x)
+                np.testing.assert_allclose(got, want, **tol(1e-6, 1e-9, rtol32=1e-3, atol32=1e-3),
                                            err_msg=f'n={n} x={x}')
 
     def test_expm1x(self):
@@ -143,13 +148,13 @@ class TestOracles:
             want = [float(mpmath.exp(mpmath.mpf(v)) - 1 - mpmath.mpf(v))
                     for v in x]
         got = np.asarray(expm1x(jnp.asarray(x)))
-        np.testing.assert_allclose(got, want, rtol=1e-14, atol=1e-30)
+        np.testing.assert_allclose(got, want, **tol(1e-14, 1e-30, rtol32=1e-6, atol32=1e-10))
 
     def test_harmonic_continuity_at_q1(self):
         x = np.linspace(0, 5, 50)
         k1 = np.asarray(zoo.Harmonic(Q=1)(x, np.zeros_like(x)))
         keps = np.asarray(zoo.Harmonic(Q=1 + 1e-12)(x, np.zeros_like(x)))
-        np.testing.assert_allclose(k1, keps, rtol=1e-6)
+        np.testing.assert_allclose(k1, keps, **tol(1e-6, rtol32=1e-3))
 
     def test_taylor_vs_series(self):
         x = np.array([0.5, 1.0, -0.5])
@@ -159,7 +164,7 @@ class TestOracles:
             for xx, yy in zip(x, y)
         ])
         got = np.asarray(zoo.Taylor()(x, y))
-        np.testing.assert_allclose(got, want, rtol=1e-9)
+        np.testing.assert_allclose(got, want, **tol(1e-9, rtol32=1e-4))
 
 
 def test_derivatives_of_smooth_kernels(rng):
@@ -170,5 +175,6 @@ def test_derivatives_of_smooth_kernels(rng):
         kdd = k.linop('diff', 1, 1)
         K = np.asarray(kdd(x[:, None], x[None, :]))
         assert np.all(np.isfinite(K))
-        eigs = np.linalg.eigvalsh(K)
-        assert eigs.min() > -1e-7 * max(1.0, eigs.max())
+        eigs = np.linalg.eigvalsh(K.astype('f8'))
+        lim2 = 1e-7 if not is_f32() else 1e-4
+        assert eigs.min() > -lim2 * max(1.0, eigs.max())

@@ -14,16 +14,17 @@ from lsqfitgp_tpu.linalg import seqalg, toeplitz
 class TestFormat:
 
     def test_uformat_pm(self):
-        assert uformat(1.23456, 0.012) == '1.235 ± 0.012'
-        assert uformat(1.23456, 0.045) == '1.23 ± 0.04'  # lead 4 -> 1 digit
-        assert uformat(12345, 120) == '12340 ± 120'  # round-half-even
+        assert uformat(1.23456, 0.012, sep=' ± ') == '1.235 ± 0.012'
+        # leading error digit 4 -> one digit shown at errdig=1.5
+        assert uformat(1.23456, 0.045, sep=' ± ') == '1.23 ± 0.04'
 
     def test_uformat_compact(self):
-        assert uformat(1.23456, 0.012, style='compact') == '1.235(12)'
+        # parenthesis mode is the default (sep=None)
+        assert uformat(1.23456, 0.012) == '1.235(12)'
 
     def test_format_uarray(self):
         u = uncert.normal([1.0, 2.0], [0.1, 0.25])
-        out = format_uarray(u)
+        out = format_uarray(u, 'u')
         assert out.shape == (2,)
         assert '±' in out[0]
 
