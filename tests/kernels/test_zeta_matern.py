@@ -30,14 +30,12 @@ class TestSpecials:
                 v = mpmath.polylog(s, mpmath.e ** (2j * mpmath.pi * x))
                 got_r = float(periodic_zeta(jnp.asarray(x), s))
                 got_i = float(periodic_zeta(jnp.asarray(x), s, True))
-                # f32: the small-s Hurwitz expansion loses ~3 digits
-                # (known limitation, see special/_zeta.py)
                 np.testing.assert_allclose(
                     got_r, float(v.real),
-                    **tol(1e-6, 1e-6, rtol32=5e-3, atol32=5e-3))
+                    **tol(1e-8, 1e-8, rtol32=1e-4, atol32=1e-4))
                 np.testing.assert_allclose(
                     got_i, float(v.imag),
-                    **tol(1e-6, 1e-6, rtol32=5e-3, atol32=5e-3))
+                    **tol(1e-8, 1e-8, rtol32=1e-4, atol32=1e-4))
 
     def test_kv_vs_scipy(self):
         from util import is_f32
@@ -159,3 +157,19 @@ class TestZeta:
         recon = np.einsum('ka,k,kb->ab', C, 1 / V, C)
         direct = np.asarray(moved(x[:, None], x[None, :]))
         np.testing.assert_allclose(recon, direct, **tol(1e-4, 1e-6, rtol32=3e-3, atol32=3e-4))
+
+
+def test_periodic_zeta_at_integer_s():
+    # exactly-integer and nearly-integer s: the Γ-pole cancellation is
+    # handled by symmetric evaluation; accuracy must be ~eps^(2/3)
+    import mpmath
+    mpmath.mp.dps = 30
+    for s in [2.0, 3.0, 4.0, 5.0, 3.0 + 1e-9, 5.0 - 1e-9]:
+        for x in [0.05, 0.3, 0.77]:
+            v = complex(mpmath.polylog(s, mpmath.e ** (2j * mpmath.pi * x)))
+            got_r = float(periodic_zeta(jnp.asarray(x), s))
+            got_i = float(periodic_zeta(jnp.asarray(x), s, True))
+            np.testing.assert_allclose(
+                got_r, v.real, **tol(0, 1e-8, rtol32=0, atol32=1e-4))
+            np.testing.assert_allclose(
+                got_i, v.imag, **tol(0, 1e-8, rtol32=0, atol32=1e-4))
