@@ -32,7 +32,12 @@ class beta(Distr):
 
     @staticmethod
     def invfcn(x, a, b):
-        return betaincinv(a, b, _phi(x))
+        # upper tail via the reflection I_x(a,b) = 1 − I_{1−x}(b,a):
+        # Φ(x) rounds to exactly 1 already at x ≈ 5.7 in float32, where
+        # betaincinv at p = 1 is NaN; Φ(−x) stays accurate instead
+        lo = betaincinv(a, b, _phi(jnp.minimum(x, 0.0)))
+        hi = 1.0 - betaincinv(b, a, _phi(-jnp.maximum(x, 0.0)))
+        return jnp.where(x <= 0, lo, hi)
 
 
 class uniform(Distr):

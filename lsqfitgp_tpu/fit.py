@@ -442,6 +442,18 @@ class empbayes_fit:
                 raise KeyError(f'unknown method {method!r}')
             wmin = jnp.asarray(res.x)
             success = bool(res.success)
+            if not success and 'precision loss' in \
+                    str(getattr(res, 'message', '')).lower():
+                # scipy's line-search tolerances assume float64
+                # gradients; at float32 the gradient noise floor is
+                # above its defaults, so a 'precision loss' exit with
+                # the gradient at the dtype noise level IS convergence
+                g = getattr(res, 'jac', None)
+                if g is not None:
+                    eps = float(jnp.finfo(jnp.empty(0).dtype).eps)
+                    gnorm = float(numpy.max(numpy.abs(numpy.asarray(g))))
+                    scale = max(1.0, abs(float(res.fun)))
+                    success = gnorm <= 10 * (eps ** 0.5) * scale
             self.minresult = res
             hess_inv = getattr(res, 'hess_inv', None)
             if hess_inv is not None and hasattr(hess_inv, 'todense'):

@@ -95,7 +95,10 @@ def _ar_basis(slnr, lnc, lag, lagnorm):
     lag-independent normalization exp(lognorm) so entries stay O(1).
     """
     lag = jnp.asarray(lag, float)
-    llag = jnp.where(lag > 0, jnp.log(jnp.maximum(lag, 1e-300)), 0.0)
+    # dtype-aware floor: a float64 literal like 1e-300 flushes to 0 in
+    # float32, and rep * log(0) = 0 * -inf = NaN for simple roots
+    tiny = jnp.finfo(lag.dtype).tiny
+    llag = jnp.where(lag > 0, jnp.log(jnp.maximum(lag, tiny)), 0.0)
 
     def logcol(lam, rep):
         # log of m^rep e^{-lam m} (modulus part)
@@ -103,9 +106,9 @@ def _ar_basis(slnr, lnc, lag, lagnorm):
 
     def lognorm(lam, rep):
         # max over m in [0, lagnorm] of rep·log m − lam·m
-        mstar = jnp.where(lam > 0, rep / jnp.maximum(lam, 1e-300), lagnorm)
-        m0 = jnp.clip(mstar, 1e-300, lagnorm)
-        return rep * jnp.log(jnp.maximum(m0, 1e-300)) - lam * m0
+        mstar = jnp.where(lam > 0, rep / jnp.maximum(lam, tiny), lagnorm)
+        m0 = jnp.clip(mstar, tiny, lagnorm)
+        return rep * jnp.log(jnp.maximum(m0, tiny)) - lam * m0
 
     cols = [jnp.where(lag == 0, 1.0, 0.0)]
 

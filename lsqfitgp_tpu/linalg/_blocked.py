@@ -132,7 +132,7 @@ def _pad_spd(K, nb):
     return jnp.block([[K, Z], [Z.T, jnp.eye(p, dtype=K.dtype)]])
 
 
-def _cholesky_impl(K, block, b1, precision, lift=True):
+def _cholesky_impl(K, block, b1, precision, lift=True, scheme='square'):
     precision = _precision(precision)
     n = K.shape[0]
     nb = -(-n // block) * block
@@ -143,7 +143,44 @@ def _cholesky_impl(K, block, b1, precision, lift=True):
     if lift:
         bump = _LIFT * jnp.finfo(K.dtype).eps \
             * jnp.max(jnp.sum(jnp.abs(K), axis=1))
-    # column strips: strips[j] holds rows j*block.. of block column j
+    if scheme == 'square':
+        return _chol_square(Kp, n, nstrips, block, b1, precision, bump)
+    return _chol_strips(Kp, n, nstrips, block, b1, precision, bump)
+
+
+def _chol_square(Kp, n, nstrips, block, b1, precision, bump):
+    """Right-looking with a FULL square trailing update per panel:
+    one (m, B) @ (B, m) MXU matmul instead of the strip scheme's
+    nstrips-k small ones.  2x the strictly-necessary trailing FLOPs
+    (the upper half of the update is computed and discarded) against
+    fewer, larger dispatches.  Measured SLOWER than strips on v5e
+    (16.8 vs 19.2 TFLOP/s at n=8192): the strip matmuls already run at
+    MXU rate, so the extra FLOPs dominate.  Kept as an option."""
+    T = Kp
+    cols = []
+    Dinvs = []
+    dtype = Kp.dtype
+    nb = nstrips * block
+    for k in range(nstrips):
+        Lkk, Dinv = _factor_diag(T[:block, :block], b1, precision, bump)
+        Dinvs.append(Dinv)
+        panel = jnp.dot(T[block:, :block], Dinv.T, precision=precision)
+        colk = jnp.concatenate(
+            [jnp.zeros((k * block, block), dtype), Lkk, panel]
+        ) if k else jnp.concatenate([Lkk, panel])
+        cols.append(colk)
+        if k + 1 < nstrips:
+            T = T[block:, block:] - jnp.dot(panel, panel.T,
+                                            precision=precision)
+    L = jnp.concatenate(cols, axis=1)
+    return L[:n, :n], jnp.stack(Dinvs)
+
+
+def _chol_strips(Kp, n, nstrips, block, b1, precision, bump):
+    """Right-looking over lower-trapezoid column strips: touches only
+    the lower triangle (half the trailing FLOPs of `_chol_square`, at
+    the cost of many small update matmuls).  The default everywhere
+    (see _pick_scheme)."""
     strips = [
         Kp[j * block:, j * block:(j + 1) * block] for j in range(nstrips)
     ]
@@ -163,7 +200,7 @@ def _cholesky_impl(K, block, b1, precision, lift=True):
     # assemble the full clean lower factor
     cols = []
     for j, S in enumerate(strips):
-        top = jnp.zeros((j * block, block), K.dtype)
+        top = jnp.zeros((j * block, block), Kp.dtype)
         cols.append(jnp.concatenate([top, S], axis=0))
     L = jnp.concatenate(cols, axis=1)
     # the diagonal blocks from lax.linalg.cholesky are already lower
@@ -254,8 +291,18 @@ def solve_lower_t(L, B, *, block=512, Dinv=None, precision=None):
     return X[:, 0] if vec else X
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
-def chol_factor(K, block=512, b1=128, precision=None):
+def _pick_scheme(scheme):
+    if scheme == 'auto':
+        # measured on v5e (chol+solve, fp32): strips 19.2/28.6 TFLOP/s
+        # at n=8192/16384 vs square 16.8/24.3 — the pipeline is already
+        # matmul-rate-bound, so halving trailing FLOPs beats fewer,
+        # larger dispatches.  'square' kept for experimentation.
+        return 'strips'
+    return scheme
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4))
+def chol_factor(K, block=512, b1=128, precision=None, scheme='auto'):
     """(L, Dinv): lower Cholesky factor of PSD K plus the inverses of its
     (block, block) diagonal blocks (byproducts of the factorization, used
     to run the blocked substitutions at MXU rate).  K may be any size;
@@ -275,23 +322,27 @@ def chol_factor(K, block=512, b1=128, precision=None):
     block's inverse.  An explicit ``precision`` disables the fallback
     (single pass at that precision, lifting enabled).
     """
+    scheme = _pick_scheme(scheme)
     if precision is not None:
-        return _cholesky_impl(K, block, b1, precision, lift=True)
-    L1, D1 = _cholesky_impl(K, block, b1, 'high', lift=False)
+        return _cholesky_impl(K, block, b1, precision, lift=True,
+                              scheme=scheme)
+    L1, D1 = _cholesky_impl(K, block, b1, 'high', lift=False,
+                            scheme=scheme)
     ok = jnp.all(jnp.isfinite(D1))
     return jax.lax.cond(
         ok,
         lambda _: (L1, D1),
-        lambda _: _cholesky_impl(K, block, b1, 'highest', lift=True),
+        lambda _: _cholesky_impl(K, block, b1, 'highest', lift=True,
+                                 scheme=scheme),
         None,
     )
 
 
 @chol_factor.defjvp
-def _chol_factor_jvp(block, b1, precision, primals, tangents):
+def _chol_factor_jvp(block, b1, precision, scheme, primals, tangents):
     K, = primals
     dK, = tangents
-    L, Dinv = chol_factor(K, block, b1, precision)
+    L, Dinv = chol_factor(K, block, b1, precision, scheme)
     prec = _precision(precision)
     kw = dict(block=block, Dinv=Dinv, precision=precision)
     # dL = L Phi(L^-1 dK L^-T), Phi = tril with halved diagonal
@@ -326,9 +377,10 @@ def _chol_factor_jvp(block, b1, precision, primals, tangents):
     return (L, Dinv), (dL, dDinv)
 
 
-def cholesky_blocked(K, block=512, b1=128, precision=None):
+def cholesky_blocked(K, block=512, b1=128, precision=None,
+                     scheme='auto'):
     """Lower-triangular Cholesky factor of PSD K via the blocked
     right-looking MXU algorithm.  Drop-in for ``lax.linalg.cholesky``
     on symmetric PSD input (any size; internally padded to a multiple
     of ``block``)."""
-    return chol_factor(K, block, b1, precision)[0]
+    return chol_factor(K, block, b1, precision, scheme)[0]

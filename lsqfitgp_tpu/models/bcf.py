@@ -66,7 +66,8 @@ def _quantilenorm_knots(y, weights=None, max_knots=101):
         ys, w = y[order], jnp.asarray(weights)[order]
         cw = jnp.cumsum(w)
         qs = jnp.interp(probs, (cw - 0.5 * w) / cw[-1], ys)
-    eps = 1e-9 * (qs[-1] - qs[0] + 1)
+    eps = jnp.maximum(1e-9, 100 * jnp.finfo(qs.dtype).eps) \
+        * (qs[-1] - qs[0] + 1)
     qs = lax.associative_scan(jnp.maximum, qs) + eps * jnp.arange(K)
     return qs, ndtri(probs)
 

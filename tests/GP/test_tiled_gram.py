@@ -35,8 +35,10 @@ def test_tiled_matches_broadcast_1d(name, mk, rng):
     x = rng.uniform(-3, 3, 60)
     K1 = _prior_cov(mk(), x, 'tiled')
     K2 = _prior_cov(mk(), x, 'broadcast')
+    # f32: the MXU form r² = ‖x‖²+‖y‖²−2xy cancels for close points;
+    # non-smooth profiles (|r|^γ) amplify that to ~1e-5
     np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
-                                             rtol32=1e-5, atol32=1e-6))
+                                             rtol32=1e-4, atol32=1e-5))
 
 
 def test_tiled_matches_broadcast_structured(rng):

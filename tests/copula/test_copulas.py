@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+from util import tol
 import scipy.stats as st
 
 from lsqfitgp_tpu import copula, uncert
@@ -30,7 +32,7 @@ def test_matches_scipy_ppf(make, ref):
     x = np.linspace(-6, 6, 41)
     got = np.asarray(d.partial_invfcn(jnp.asarray(x)[:, None]))
     want = ref.ppf(st.norm.cdf(x))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(got, want, **tol(1e-6, 1e-12, rtol32=1e-3, atol32=1e-4))
 
 
 def test_extreme_tails():
@@ -39,7 +41,7 @@ def test_extreme_tails():
         v = float(d.partial_invfcn(jnp.asarray([x])))
         want = st.gamma(2.0).ppf(st.norm.cdf(x)) if x < 0 else \
             st.gamma(2.0).isf(st.norm.sf(x))
-        np.testing.assert_allclose(v, want, rtol=1e-5)
+        np.testing.assert_allclose(v, want, **tol(1e-5, rtol32=1e-3, atol32=1e-4))
 
 
 def test_dirichlet():
@@ -48,7 +50,7 @@ def test_dirichlet():
     assert d.in_size == 3
     out = np.asarray(d.partial_invfcn(jnp.zeros(3)))
     assert out.shape == (3,)
-    np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(out.sum(), 1.0, **tol(1e-12, rtol32=1e-5, atol32=1e-6))
     assert np.all(out > 0)
 
 
@@ -60,7 +62,7 @@ def test_nested_params():
     out = float(d.partial_invfcn(jnp.asarray([0.5, -0.3])))
     r = float(rate.partial_invfcn(jnp.asarray([0.5])))
     want = float(copula.gamma(2.0, r).partial_invfcn(jnp.asarray([-0.3])))
-    np.testing.assert_allclose(out, want, rtol=1e-12)
+    np.testing.assert_allclose(out, want, **tol(1e-12, rtol32=1e-5, atol32=1e-6))
 
 
 def test_shared_node_counted_once():
@@ -81,7 +83,7 @@ def test_arithmetic_transform():
     np.testing.assert_allclose(out, 2 * base + 1)
     e = np.exp(copula.uniform(0.0, 1.0))
     v = float(e.partial_invfcn(jnp.asarray([0.0])))
-    np.testing.assert_allclose(v, np.exp(0.5), rtol=1e-12)
+    np.testing.assert_allclose(v, np.exp(0.5), **tol(1e-12, rtol32=1e-5, atol32=1e-6))
 
 
 def test_makedict_roundtrip():
@@ -96,7 +98,7 @@ def test_makedict_roundtrip():
     assert isinstance(a, uncert.UArray)
     # at the prior mean (0), alpha = beta(2,1).ppf(0.5)
     np.testing.assert_allclose(
-        float(a.mean), st.beta(2, 1).ppf(0.5), rtol=1e-8
+        float(a.mean), st.beta(2, 1).ppf(0.5), **tol(1e-8, rtol32=1e-4, atol32=1e-5)
     )
     assert float(a.sdev) > 0
 
@@ -118,7 +120,7 @@ def test_fit_with_copula_hyperprior(rng):
     n = 25
     x = np.sort(rng.uniform(-3, 3, n))
     K = np.asarray(ExpQuad(scale=1.5)(x[:, None], x[None, :]))
-    y = np.linalg.cholesky(K + 1e-10 * np.eye(n)) @ rng.standard_normal(n) \
+    y = np.linalg.cholesky(np.asarray(K, 'f8') + 1e-6 * np.eye(n)) @ rng.standard_normal(n) \
         + 0.05 * rng.standard_normal(n)
 
     hyp = copula.makedict({'scale': copula.lognorm(0.0, 1.0)})
@@ -129,6 +131,8 @@ def test_fit_with_copula_hyperprior(rng):
         return gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
                                checklin=False)
 
-    fit = lgp.empbayes_fit(hyp, gpfactory, {'y': y})
+    # scipy's strict line-search criteria routinely report 'precision
+    # loss' at float32 gradient accuracy; the iterate is still good
+    fit = lgp.empbayes_fit(hyp, gpfactory, {'y': y}, raises=False)
     s = float(fit.p['scale'].mean)
     assert 0.3 < s < 8.0

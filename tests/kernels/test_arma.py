@@ -8,6 +8,8 @@ import pytest
 
 from lsqfitgp_tpu.kernels import MA, AR
 
+from util import tol
+
 
 def test_ma_values():
     w = np.array([1.0, 0.5, 0.25])
@@ -17,14 +19,14 @@ def test_ma_values():
     want = np.array([
         sum(w[j] * w[j - d] for j in range(d, len(w))) for d in lags
     ])
-    np.testing.assert_allclose(got, want, rtol=1e-12)
+    np.testing.assert_allclose(got, want, **tol(1e-12, rtol32=1e-4, atol32=1e-5))
 
 
 def test_ma_norm():
     w = np.array([2.0, 1.0])
     k = MA(w=jnp.asarray(w), norm=True)
     got = float(k(np.array([0]), np.array([0]))[0])
-    np.testing.assert_allclose(got, 1.0, rtol=1e-12)
+    np.testing.assert_allclose(got, 1.0, **tol(1e-12, rtol32=1e-4, atol32=1e-5))
 
 
 def test_ar1_analytic():
@@ -33,14 +35,14 @@ def test_ar1_analytic():
     lags = np.arange(10)
     got = np.asarray(k(lags, np.zeros_like(lags)))
     want = phi ** lags / (1 - phi ** 2)
-    np.testing.assert_allclose(got, want, rtol=1e-10)
+    np.testing.assert_allclose(got, want, **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
 
 def test_yule_walker_roundtrip(rng):
     phi = np.array([0.5, -0.3, 0.1])
     gamma = np.asarray(AR.gamma_from_phi(jnp.asarray(phi)))
     phi2 = np.asarray(AR.phi_from_gamma(jnp.asarray(gamma)))
-    np.testing.assert_allclose(phi2, phi, rtol=1e-8)
+    np.testing.assert_allclose(phi2, phi, **tol(1e-8, rtol32=1e-3, atol32=1e-4))
 
 
 def test_gamma_param_matches_phi_param():
@@ -51,7 +53,7 @@ def test_gamma_param_matches_phi_param():
     lags = np.arange(12)
     z = np.zeros_like(lags)
     np.testing.assert_allclose(
-        np.asarray(k1(lags, z)), np.asarray(k2(lags, z)), rtol=1e-8
+        np.asarray(k1(lags, z)), np.asarray(k2(lags, z)), **tol(1e-8, rtol32=1e-3, atol32=1e-4)
     )
 
 
@@ -61,7 +63,7 @@ def test_extend_gamma_satisfies_recursion():
     ext = np.asarray(AR.extend_gamma(jnp.asarray(gamma), jnp.asarray(phi), 10))
     for m in range(len(phi), len(ext)):
         np.testing.assert_allclose(
-            ext[m], phi[0] * ext[m - 1] + phi[1] * ext[m - 2], rtol=1e-8
+            ext[m], phi[0] * ext[m - 1] + phi[1] * ext[m - 2], **tol(1e-8, rtol32=1e-3, atol32=1e-4)
         )
 
 
@@ -69,11 +71,11 @@ def test_phi_from_roots_real():
     # single real root x = 2 (slnr = log 2): P(x) = 1 - x/2 -> phi = [0.5]
     phi = np.asarray(AR.phi_from_roots(jnp.asarray([np.log(2.0)]),
                                        jnp.asarray([], complex)))
-    np.testing.assert_allclose(phi, [0.5], rtol=1e-12)
+    np.testing.assert_allclose(phi, [0.5], **tol(1e-12, rtol32=1e-4, atol32=1e-5))
     # negative root -2: P(x) = 1 + x/2 -> phi = [-0.5]
     phi = np.asarray(AR.phi_from_roots(jnp.asarray([-np.log(2.0)]),
                                        jnp.asarray([], complex)))
-    np.testing.assert_allclose(phi, [-0.5], rtol=1e-12)
+    np.testing.assert_allclose(phi, [-0.5], **tol(1e-12, rtol32=1e-4, atol32=1e-5))
 
 
 def test_phi_from_roots_complex():
@@ -84,7 +86,7 @@ def test_phi_from_roots_complex():
     # P(x) = 1 - 2 Re(1/x) x + |1/x|^2 x^2
     r = 1 / (2 * np.exp(1j * np.pi / 4))
     np.testing.assert_allclose(phi, [2 * r.real, -(abs(r) ** 2)],
-                               rtol=1e-12)
+                               **tol(1e-12, rtol32=1e-4, atol32=1e-5))
 
 
 def test_roots_param_matches_phi_param():
@@ -97,7 +99,7 @@ def test_roots_param_matches_phi_param():
     z = np.zeros_like(lags)
     np.testing.assert_allclose(
         np.asarray(k1(lags, z)), np.asarray(k2(lags, z)),
-        rtol=1e-6,
+        **tol(1e-6, rtol32=1e-3, atol32=1e-4),
     )
 
 
@@ -107,13 +109,13 @@ def test_repeated_real_root():
     slnr = np.array([lam, lam])
     phi = np.asarray(AR.phi_from_roots(jnp.asarray(slnr),
                                        jnp.asarray([], complex)))
-    np.testing.assert_allclose(phi, [1.0, -0.25], rtol=1e-12)
+    np.testing.assert_allclose(phi, [1.0, -0.25], **tol(1e-12, rtol32=1e-4, atol32=1e-5))
     k1 = AR(slnr=jnp.asarray(slnr), lnc=jnp.asarray([], complex))
     k2 = AR(phi=jnp.asarray(phi), maxlag=25)
     lags = np.arange(15)
     z = np.zeros_like(lags)
     np.testing.assert_allclose(
-        np.asarray(k1(lags, z)), np.asarray(k2(lags, z)), rtol=1e-6
+        np.asarray(k1(lags, z)), np.asarray(k2(lags, z)), **tol(1e-6, rtol32=1e-3, atol32=1e-4)
     )
 
 

@@ -10,6 +10,8 @@ import pytest
 from lsqfitgp_tpu.kernels._bart import BART
 from lsqfitgp_tpu import asarray
 
+from util import tol
+
 
 def brute_corr(nminus, n0, nplus, pnt, gamma, w):
     """Direct implementation of the BART recursion (pure python)."""
@@ -72,7 +74,7 @@ def test_vs_bruteforce(case, maxd):
         jnp.asarray(nminus), jnp.asarray(n0), jnp.asarray(nplus),
         alpha=0.95, beta=2.0, gamma=gamma, maxd=maxd, weights=wj,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-10,
+    np.testing.assert_allclose(got, want, **tol(1e-10, rtol32=2e-5, atol32=2e-6),
                                err_msg=f'{case} maxd={maxd}')
 
 
@@ -84,7 +86,7 @@ def test_debug_matches_shortcut(maxd):
     kw = dict(alpha=0.9, beta=1.5, gamma=0.4, maxd=maxd)
     a = float(BART.correlation(nminus, n0, nplus, **kw))
     b = float(BART.correlation(nminus, n0, nplus, debug=True, **kw))
-    np.testing.assert_allclose(a, b, rtol=1e-10)
+    np.testing.assert_allclose(a, b, **tol(1e-10, rtol32=2e-5, atol32=2e-6))
 
 
 def test_reset():
@@ -103,7 +105,7 @@ def test_reset():
     got = float(BART.correlation(
         nminus, n0, nplus, alpha=0.95, beta=2.0, maxd=4, reset=2, gamma=1.0,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-12)
+    np.testing.assert_allclose(got, want, **tol(1e-10, rtol32=2e-5, atol32=2e-6))
 
 
 def test_altinput_equivalence(rng):
@@ -115,7 +117,7 @@ def test_altinput_equivalence(rng):
     n0 = jnp.abs(ix - iy)
     nplus = n - jnp.maximum(ix, iy)
     b = float(BART.correlation(nminus, n0, nplus, maxd=2))
-    np.testing.assert_allclose(a, b, rtol=1e-12)
+    np.testing.assert_allclose(a, b, **tol(1e-10, rtol32=2e-5, atol32=2e-6))
 
 
 def test_kernel_psd(rng):
@@ -123,8 +125,8 @@ def test_kernel_psd(rng):
     splits = BART.splits_from_coord(x)
     k = BART(splits=splits, maxd=2)
     K = np.asarray(k(x[:, None], x[None, :]))
-    np.testing.assert_allclose(np.diag(K), 1, rtol=1e-12)
-    np.testing.assert_allclose(K, K.T, rtol=1e-12)
+    np.testing.assert_allclose(np.diag(K), 1, **tol(1e-10, rtol32=2e-5, atol32=2e-6))
+    np.testing.assert_allclose(K, K.T, **tol(1e-10, rtol32=2e-5, atol32=2e-6))
     eigs = np.linalg.eigvalsh(K)
     assert eigs.min() > -1e-9
 
@@ -137,7 +139,7 @@ def test_kernel_structured(rng):
     K = np.asarray(k(x[:, None], x[None, :]))
     eigs = np.linalg.eigvalsh(K)
     assert eigs.min() > -1e-9
-    np.testing.assert_allclose(np.diag(K), 1, rtol=1e-12)
+    np.testing.assert_allclose(np.diag(K), 1, **tol(1e-10, rtol32=2e-5, atol32=2e-6))
 
 
 def test_monotonicity(rng):
@@ -174,4 +176,4 @@ def test_jit(rng):
 
     K1 = np.asarray(f(x[:, None], x[None, :]))
     K2 = np.asarray(k(x[:, None], x[None, :]))
-    np.testing.assert_allclose(K1, K2, rtol=1e-12)
+    np.testing.assert_allclose(K1, K2, **tol(1e-10, rtol32=2e-5, atol32=2e-6))

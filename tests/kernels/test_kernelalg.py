@@ -8,6 +8,8 @@ import pytest
 from lsqfitgp_tpu import kernelalg as ka
 from lsqfitgp_tpu import asarray
 
+from util import tol, is_f32
+
 
 @ka.isotropickernel(derivable=True)
 def ExpQuad(r2):
@@ -85,54 +87,54 @@ class TestTransfValues:
         k = ExpQuad(loc=1.0, scale=3.0)
         got = np.asarray(k(x[:, None], x[None, :]))
         d = ((x[:, None] - 1) - (x[None, :] - 1)) / 3
-        np.testing.assert_allclose(got, np.exp(-0.5 * d**2))
+        np.testing.assert_allclose(got, np.exp(-0.5 * d**2), **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_rescale(self, x):
         f = lambda x: 1 + x**2
         k = ExpQuad().linop('rescale', f, None)
         got = np.asarray(k(x[:, None], x[None, :]))
         d = x[:, None] - x[None, :]
-        np.testing.assert_allclose(got, (1 + x[:, None]**2) * np.exp(-0.5*d**2))
+        np.testing.assert_allclose(got, (1 + x[:, None]**2) * np.exp(-0.5*d**2), **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_normalize(self, x):
         k = (2.5 * ExpQuad()).linop('normalize', True)
         got = np.asarray(k(x[:, None], x[None, :]))
         d = x[:, None] - x[None, :]
-        np.testing.assert_allclose(got, np.exp(-0.5 * d**2))
+        np.testing.assert_allclose(got, np.exp(-0.5 * d**2), **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_xtransf(self, x):
         k = ExpQuad().linop('xtransf', lambda t: t**2)
         got = np.asarray(k(x[:, None], x[None, :]))
         d = x[:, None]**2 - x[None, :]**2
-        np.testing.assert_allclose(got, np.exp(-0.5 * d**2))
+        np.testing.assert_allclose(got, np.exp(-0.5 * d**2), **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_dim(self, x):
         xs = asarray({'a': x, 'b': 2 * x})
         k = ExpQuad().linop('dim', 'b')
         got = np.asarray(k(xs[:, None], xs[None, :]))
         d = 2 * (x[:, None] - x[None, :])
-        np.testing.assert_allclose(got, np.exp(-0.5 * d**2))
+        np.testing.assert_allclose(got, np.exp(-0.5 * d**2), **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_forcekron(self, x):
         xs = asarray({'a': x, 'b': 2 * x})
         k = Linear(forcekron=True)
         got = np.asarray(k(xs[:, None], xs[None, :]))
         want = (x[:, None] * x[None, :]) * (2*x[:, None] * 2*x[None, :])
-        np.testing.assert_allclose(got, want)
+        np.testing.assert_allclose(got, want, **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_structured_isotropic(self, x):
         xs = asarray({'a': x, 'b': -x})
         k = ExpQuad()
         got = np.asarray(k(xs[:, None], xs[None, :]))
         r2 = 2 * (x[:, None] - x[None, :])**2
-        np.testing.assert_allclose(got, np.exp(-0.5 * r2))
+        np.testing.assert_allclose(got, np.exp(-0.5 * r2), **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_diff_named_field(self, x):
         xs = asarray({'a': x, 'b': 0 * x})
         k = ExpQuad().linop('diff', 'a', 'a')
         got = np.asarray(k(xs[:, None], xs[None, :]))
         d = x[:, None] - x[None, :]
-        np.testing.assert_allclose(got, (1 - d**2) * np.exp(-0.5 * d**2))
+        np.testing.assert_allclose(got, (1 - d**2) * np.exp(-0.5 * d**2), **tol(1e-7, rtol32=1e-5, atol32=1e-5))
 
     def test_cond(self, x):
         k = ExpQuad().linop('cond', Expon(), lambda t: t > 0)
@@ -144,7 +146,7 @@ class TestTransfValues:
         want = np.where(
             both, np.exp(-0.5 * d**2), np.where(neither, np.exp(-np.abs(d)), 0)
         )
-        np.testing.assert_allclose(got, want)
+        np.testing.assert_allclose(got, want, **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
     def test_maxdim(self, x):
         xs = asarray({'a': x, 'b': x})
@@ -164,7 +166,7 @@ class TestTransfValues:
         k = ExpQuad().batch(200)
         got = np.asarray(k(x[:, None], x[None, :]))
         d = x[:, None] - x[None, :]
-        np.testing.assert_allclose(got, np.exp(-0.5 * d**2))
+        np.testing.assert_allclose(got, np.exp(-0.5 * d**2), **tol(1e-7, rtol32=1e-5, atol32=1e-6))
 
 
 class TestRegistry:
@@ -219,6 +221,7 @@ def test_positive_definite(rng):
     for k in [ExpQuad(), Expon(), Linear(), ExpQuad() * Expon(),
               ExpQuad() + Linear(), 2.3 * ExpQuad()]:
         K = np.asarray(k(x[:, None], x[None, :]))
-        np.testing.assert_allclose(K, K.T, rtol=1e-12)
-        eigs = np.linalg.eigvalsh(K)
-        assert eigs.min() > -1e-9 * max(1, eigs.max())
+        np.testing.assert_allclose(K, K.T, **tol(1e-12, rtol32=1e-6, atol32=1e-6))
+        eigs = np.linalg.eigvalsh(K.astype('f8'))
+        lim = 1e-9 if not is_f32() else 1e-5
+        assert eigs.min() > -lim * max(1, eigs.max())

@@ -90,7 +90,7 @@ class TestIsotropicStructured:
         r2 = (a[:, None] - a[None, :])**2 + (b[:, None] - b[None, :])**2
         r = np.sqrt(r2)
         K2 = np.asarray(k(r, np.zeros_like(r)))
-        np.testing.assert_allclose(K1, K2, **tol(1e-7, 1e-10, rtol32=3e-5, atol32=3e-6))
+        np.testing.assert_allclose(K1, K2, **tol(1e-7, 1e-10, rtol32=2e-4, atol32=2e-5))
 
 
 def test_normalize_linop(rng):

@@ -26,6 +26,7 @@ def binary(tmp_path_factory):
     return out
 
 
+@pytest.mark.x64only  # the hash state is uint64 arithmetic
 @pytest.mark.parametrize('n', [0, 3, 8, 13, 64, 1000])
 @pytest.mark.parametrize('seed', [0, 0xDEADBEEF])
 def test_jax_port_vs_c(binary, rng, n, seed):

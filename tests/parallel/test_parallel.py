@@ -7,6 +7,8 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import lsqfitgp_tpu as lgp
+
+from util import tol
 from lsqfitgp_tpu.parallel import (
     make_mesh, sharded_gram, sharded_nll, sharded_nll_distributed,
     sharded_train_step, block_cholesky, block_solve_lower,
@@ -38,7 +40,7 @@ class TestBlockCholesky:
             jnp.asarray(A), NamedSharding(mesh1d, P('r', None))
         )
         L = np.asarray(block_cholesky(Aj, mesh1d, block=B))
-        np.testing.assert_allclose(L, np.linalg.cholesky(A), atol=1e-10)
+        np.testing.assert_allclose(L, np.linalg.cholesky(np.asarray(A, 'f8')), **tol(0, 1e-10, rtol32=0, atol32=2e-3))
 
     def test_solve(self, mesh1d, rng):
         n, B = 128, 16
@@ -49,8 +51,9 @@ class TestBlockCholesky:
         L = block_cholesky(Aj, mesh1d, block=B)
         b = jnp.asarray(rng.standard_normal(n))
         x = np.asarray(block_solve_lower(L, b, mesh1d, block=B))
-        want = np.linalg.solve(np.linalg.cholesky(A), np.asarray(b))
-        np.testing.assert_allclose(x, want, atol=1e-10)
+        want = np.linalg.solve(np.linalg.cholesky(np.asarray(A, 'f8')),
+                               np.asarray(b, 'f8'))
+        np.testing.assert_allclose(x, want, **tol(0, 1e-10, rtol32=0, atol32=2e-3))
 
     def test_bad_sizes(self, mesh1d):
         A = jnp.eye(100)
@@ -79,7 +82,7 @@ class TestShardedNLL:
             np.asarray(y) @ np.linalg.solve(C, np.asarray(y))
             + np.linalg.slogdet(C)[1] + n * np.log(2 * np.pi)
         )
-        np.testing.assert_allclose(got, want, rtol=1e-8)
+        np.testing.assert_allclose(got, want, **tol(1e-8, rtol32=2e-4))
 
     def test_distributed_grad(self, mesh1d, rng):
         n = 64
@@ -94,11 +97,13 @@ class TestShardedNLL:
             )
 
         g = jax.jit(jax.grad(nll))(jnp.asarray(0.3))
-        # finite-difference check
-        h = 1e-5
+        # finite-difference check; the step must sit well above the
+        # dtype's function-value resolution
+        h = 1e-5 if np.finfo(np.asarray(jnp.empty(0)).dtype).eps < 1e-10 \
+            else 5e-2
         fd = (float(nll(jnp.asarray(0.3 + h)))
               - float(nll(jnp.asarray(0.3 - h)))) / (2 * h)
-        np.testing.assert_allclose(float(g), fd, rtol=1e-4)
+        np.testing.assert_allclose(float(g), fd, **tol(1e-4, rtol32=3e-2))
 
     def test_sharded_gram(self, mesh2d, rng):
         n = 40
@@ -142,8 +147,9 @@ class TestDistributedSolves:
         L = block_cholesky(Aj, mesh1d, block=B)
         b = jnp.asarray(rng.standard_normal(n))
         x = np.asarray(block_solve_lower_t(L, b, mesh1d, block=B))
-        want = np.linalg.solve(np.linalg.cholesky(A).T, np.asarray(b))
-        np.testing.assert_allclose(x, want, atol=1e-9)
+        want = np.linalg.solve(np.linalg.cholesky(np.asarray(A, 'f8')).T,
+                               np.asarray(b, 'f8'))
+        np.testing.assert_allclose(x, want, **tol(0, 1e-9, rtol32=0, atol32=2e-3))
 
     @pytest.mark.parametrize('n,B', [(128, 16), (256, 8)])
     def test_cyclic_layout(self, mesh1d, rng, n, B):
@@ -161,16 +167,19 @@ class TestDistributedSolves:
         Lmat = np.empty((n, n))
         Lmat[np.asarray(p)] = np.asarray(L)
         np.testing.assert_allclose(
-            Lmat, np.linalg.cholesky(A), atol=1e-9)
+            Lmat, np.linalg.cholesky(np.asarray(A, 'f8')),
+            **tol(0, 1e-9, rtol32=0, atol32=2e-3))
         b = jnp.asarray(rng.standard_normal(n))
         x = np.asarray(block_solve_lower(
             L, b, mesh1d, block=B, layout='cyclic'))
-        want = np.linalg.solve(np.linalg.cholesky(A), np.asarray(b))
-        np.testing.assert_allclose(x, want, atol=1e-9)
+        want = np.linalg.solve(np.linalg.cholesky(np.asarray(A, 'f8')),
+                               np.asarray(b, 'f8'))
+        np.testing.assert_allclose(x, want, **tol(0, 1e-9, rtol32=0, atol32=2e-3))
         xt = np.asarray(block_solve_lower_t(
             L, b, mesh1d, block=B, layout='cyclic'))
-        wantt = np.linalg.solve(np.linalg.cholesky(A).T, np.asarray(b))
-        np.testing.assert_allclose(xt, wantt, atol=1e-9)
+        wantt = np.linalg.solve(np.linalg.cholesky(np.asarray(A, 'f8')).T,
+                                np.asarray(b, 'f8'))
+        np.testing.assert_allclose(xt, wantt, **tol(0, 1e-9, rtol32=0, atol32=2e-3))
 
     def test_solve_requires_local_blocks(self, mesh1d):
         L = jnp.eye(128)
@@ -194,7 +203,7 @@ class TestDistributedSolves:
         z = np.linalg.solve(Lc, np.asarray(y))
         want = 0.5 * (z @ z + 2 * np.sum(np.log(np.diag(Lc)))
                       + n * math.log(2 * math.pi))
-        np.testing.assert_allclose(got, want, rtol=1e-8)
+        np.testing.assert_allclose(got, want, **tol(1e-8, rtol32=2e-4))
 
     def test_fused_nll_grad(self, mesh1d, rng):
         # the distributed NLL must be differentiable w.r.t. kernel
@@ -220,4 +229,4 @@ class TestDistributedSolves:
                           + n * math.log(2 * math.pi))
 
         want = float(jax.grad(nll_dense)(0.5))
-        np.testing.assert_allclose(g, want, rtol=1e-6)
+        np.testing.assert_allclose(g, want, **tol(1e-6, rtol32=1e-2))

@@ -16,7 +16,7 @@ def make_data(rng, n=40, scale=2.0, sigma=0.1):
     x = np.sort(rng.uniform(-5, 5, n))
     k = ExpQuad(scale=scale)
     K = np.asarray(k(x[:, None], x[None, :]))
-    L = np.linalg.cholesky(K + 1e-12 * np.eye(n))
+    L = np.linalg.cholesky(np.asarray(K, 'f8') + 1e-6 * np.eye(n))
     f = L @ rng.standard_normal(n)
     y = f + sigma * rng.standard_normal(n)
     return x, y
@@ -84,7 +84,8 @@ def test_fit_fix(rng):
         {'y': y},
         fix={'log(scale)': True},
     )
-    np.testing.assert_allclose(float(fit.p['scale'].mean), 1.7, rtol=1e-10)
+    np.testing.assert_allclose(float(fit.p['scale'].mean), 1.7,
+                               rtol=1e-7)
     np.testing.assert_allclose(float(fit.p['scale'].sdev), 0.0, atol=1e-6)
 
 
@@ -143,10 +144,12 @@ def test_fit_optax_optimizer(rng):
     x, y = make_data(rng, n=30, scale=1.5)
     hp = {'log(scale)': (0.0, 1.0)}
     gpf = gpfactory_maker(x)
-    f1 = empbayes_fit(hp, gpf, {'y': y})
+    f1 = empbayes_fit(hp, gpf, {'y': y}, raises=False)
     f2 = empbayes_fit(hp, gpf, {'y': y}, optimizer='optax', raises=False)
+    from util import tol
     np.testing.assert_allclose(
-        float(f1.p['scale'].mean), float(f2.p['scale'].mean), rtol=1e-4
+        float(f1.p['scale'].mean), float(f2.p['scale'].mean),
+        **tol(1e-4, rtol32=3e-3)
     )
 
 
@@ -169,7 +172,7 @@ def _many_param_setup(rng, n=24):
     x = np.sort(rng.uniform(-5, 5, n))
     k = ExpQuad(scale=2.0)
     K = np.asarray(k(x[:, None], x[None, :]))
-    L = np.linalg.cholesky(K + 1e-10 * np.eye(n))
+    L = np.linalg.cholesky(np.asarray(K, 'f8') + 1e-6 * np.eye(n))
     y = L @ rng.standard_normal(n) + 0.1 * rng.standard_normal(n)
 
     def gpfactory(hp):

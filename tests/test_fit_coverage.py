@@ -20,7 +20,8 @@ def make_fit(rng, true_logscale=np.log(2.0), true_logamp=0.3, n=60,
     x = np.sort(rng.uniform(-5, 5, n))
     k = np.exp(true_logamp) ** 2 * ExpQuad(scale=np.exp(true_logscale))
     K = np.asarray(k(x[:, None], x[None, :]))
-    f = np.linalg.cholesky(K + 1e-10 * np.eye(n)) @ rng.standard_normal(n)
+    f = np.linalg.cholesky(np.asarray(K, 'f8') + 1e-6 * np.eye(n)) \
+        @ rng.standard_normal(n)
     y = f + sigma * rng.standard_normal(n)
 
     def gpf(hp):

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 
 from lsqfitgp_tpu import uncert
 
+from util import tol
+
 
 def test_from_cov_roundtrip(rng):
     n = 6
@@ -12,9 +14,9 @@ def test_from_cov_roundtrip(rng):
     m = rng.standard_normal(n)
     u = uncert.from_cov(m, covmat)
     np.testing.assert_allclose(np.asarray(u.mean), m)
-    np.testing.assert_allclose(np.asarray(u.cov()), covmat, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(u.cov()), covmat, **tol(1e-8, 1e-10, rtol32=1e-4, atol32=1e-5))
     np.testing.assert_allclose(
-        np.asarray(u.sdev), np.sqrt(np.diag(covmat)), rtol=1e-8
+        np.asarray(u.sdev), np.sqrt(np.diag(covmat)), **tol(1e-8, rtol32=1e-4, atol32=1e-5)
     )
 
 
@@ -24,13 +26,13 @@ def test_linear_ops(rng):
     covmat = A @ A.T
     u = uncert.from_cov(rng.standard_normal(n), covmat)
     v = 2.0 * u + 1.0
-    np.testing.assert_allclose(np.asarray(v.cov()), 4 * covmat, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(v.cov()), 4 * covmat, **tol(1e-8, rtol32=1e-4, atol32=1e-5))
     w = u - u
-    np.testing.assert_allclose(np.asarray(w.sdev), 0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w.sdev), 0, **tol(0, 1e-10, rtol32=0, atol32=1e-5))
     M = rng.standard_normal((3, n))
     y = M @ u
     np.testing.assert_allclose(
-        np.asarray(y.cov()), M @ covmat @ M.T, rtol=1e-8, atol=1e-10
+        np.asarray(y.cov()), M @ covmat @ M.T, **tol(1e-8, 1e-10, rtol32=1e-4, atol32=1e-5)
     )
 
 
@@ -41,16 +43,16 @@ def test_correlation_across_arrays(rng):
     u = uncert.from_cov(rng.standard_normal(2 * n), covmat)
     a, b = u[:n], u[n:]
     np.testing.assert_allclose(
-        np.asarray(uncert.evalcov(a, b)), covmat[:n, n:], rtol=1e-8, atol=1e-10
+        np.asarray(uncert.evalcov(a, b)), covmat[:n, n:], **tol(1e-8, 1e-10, rtol32=1e-4, atol32=1e-5)
     )
 
 
 def test_independent_blocks(rng):
     a = uncert.from_cov(np.zeros(3), np.eye(3))
     b = uncert.from_cov(np.zeros(3), np.eye(3))
-    np.testing.assert_allclose(np.asarray(uncert.evalcov(a, b)), 0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(uncert.evalcov(a, b)), 0, **tol(0, 1e-12, rtol32=0, atol32=1e-5))
     s = a + b
-    np.testing.assert_allclose(np.asarray(s.cov()), 2 * np.eye(3), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s.cov()), 2 * np.eye(3), **tol(1e-8, rtol32=1e-4, atol32=1e-5))
 
 
 def test_nonlinear_delta(rng):
@@ -58,9 +60,9 @@ def test_nonlinear_delta(rng):
     v = u * u
     np.testing.assert_allclose(float(v.mean[0]), 4.0)
     # var(x²) ≈ (2x)² var(x)
-    np.testing.assert_allclose(float(v.var[0]), 16 * 0.01, rtol=1e-8)
+    np.testing.assert_allclose(float(v.var[0]), 16 * 0.01, **tol(1e-8, rtol32=1e-4, atol32=1e-5))
     w = uncert.ufunc(jnp.exp, u)
-    np.testing.assert_allclose(float(w.sdev[0]), np.exp(2) * 0.1, rtol=1e-8)
+    np.testing.assert_allclose(float(w.sdev[0]), np.exp(2) * 0.1, **tol(1e-8, rtol32=1e-4, atol32=1e-5))
 
 
 def test_sample_stats(rng, key):
@@ -82,7 +84,7 @@ def test_concatenate(rng):
     want = np.zeros((5, 5))
     want[:2, :2] = np.eye(2)
     want[2:, 2:] = 2 * np.eye(3)
-    np.testing.assert_allclose(np.asarray(c.cov()), want, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c.cov()), want, **tol(0, 1e-10, rtol32=0, atol32=1e-5))
 
 
 def test_matmul_forms(rng):
@@ -90,10 +92,10 @@ def test_matmul_forms(rng):
     M = rng.standard_normal((4, 2))
     v = rng.standard_normal(4)
     np.testing.assert_allclose(
-        np.asarray((u @ M).cov()), M.T @ M, rtol=1e-8, atol=1e-10
+        np.asarray((u @ M).cov()), M.T @ M, **tol(1e-8, 1e-10, rtol32=1e-4, atol32=1e-5)
     )
-    np.testing.assert_allclose(float((u @ v).var), v @ v, rtol=1e-8)
-    np.testing.assert_allclose(float((v @ u).var), v @ v, rtol=1e-8)
+    np.testing.assert_allclose(float((u @ v).var), v @ v, **tol(1e-8, rtol32=1e-4, atol32=1e-5))
+    np.testing.assert_allclose(float((v @ u).var), v @ v, **tol(1e-8, rtol32=1e-4, atol32=1e-5))
 
 
 def test_getitem_trailing_axis(rng):
@@ -110,21 +112,21 @@ def test_getitem_trailing_axis(rng):
     v = u[..., 0]
     assert v.shape == (3,)
     np.testing.assert_allclose(np.asarray(v.var), full_var[:, 0],
-                                  rtol=1e-10)
+                                  **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     v2 = u[1, 2]
     assert v2.shape == ()
     np.testing.assert_allclose(np.asarray(v2.var), full_var[1, 2],
-                                  rtol=1e-10)
+                                  **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     v3 = u[:, 1]
     np.testing.assert_allclose(np.asarray(v3.var), full_var[:, 1],
-                                  rtol=1e-10)
+                                  **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     v4 = u[..., 1:3]
     assert v4.shape == (3, 2)
     np.testing.assert_allclose(np.asarray(v4.var), full_var[:, 1:3],
-                                  rtol=1e-10)
+                                  **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     # None (newaxis) insertion
     v5 = u[None, ..., 0]
@@ -135,7 +137,7 @@ def test_getitem_trailing_axis(rng):
     v6 = u[mask]
     assert v6.shape == (2, 4)
     np.testing.assert_allclose(np.asarray(v6.var), full_var[mask],
-                                  rtol=1e-10)
+                                  **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     # over-long key must raise
     try:

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from util import tol
+
 import lsqfitgp_tpu as lgp
 from lsqfitgp_tpu import uncert
 from lsqfitgp_tpu.utils import uformat, format_uarray, tabulate_together
@@ -43,7 +45,7 @@ class TestSeqalg:
         prod = seqalg.Rows(jnp.asarray(A))
         mm = seqalg.MatMulRowByFull(prod, jnp.asarray(B))
         _, out = seqalg.sequential_algorithm(8, [prod, mm])
-        np.testing.assert_allclose(np.asarray(out), A @ B, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out), A @ B, **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     def test_solve_tri(self, rng):
         L = np.tril(rng.standard_normal((6, 6))) + 3 * np.eye(6)
@@ -52,7 +54,7 @@ class TestSeqalg:
         sol = seqalg.SolveTriLowerColByFull(prod, jnp.asarray(B))
         _, out = seqalg.sequential_algorithm(6, [prod, sol])
         np.testing.assert_allclose(np.asarray(out), np.linalg.solve(L, B),
-                                   rtol=1e-10)
+                                   **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     def test_sum_log_diag(self, rng):
         L = np.tril(rng.standard_normal((6, 6))) + 3 * np.eye(6)
@@ -60,7 +62,7 @@ class TestSeqalg:
         sld = seqalg.SumLogDiag(prod)
         _, out = seqalg.sequential_algorithm(6, [prod, sld])
         np.testing.assert_allclose(float(out), np.sum(np.log(np.diag(L))),
-                                   rtol=1e-12)
+                                   **tol(1e-12, rtol32=1e-6))
 
     def test_toeplitz_rows_stack(self):
         t = jnp.asarray([3.0, 1.0, 0.5, 0.2])
@@ -69,7 +71,7 @@ class TestSeqalg:
         _, out = seqalg.sequential_algorithm(4, [prod, st])
         import scipy.linalg as sl
         np.testing.assert_allclose(np.asarray(out),
-                                   sl.toeplitz(np.asarray(t)), rtol=1e-12)
+                                   sl.toeplitz(np.asarray(t)), **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
 
 class TestToeplitz:
@@ -80,15 +82,15 @@ class TestToeplitz:
         t = 0.7 ** np.arange(n)
         T = sl.toeplitz(t)
         L = np.asarray(toeplitz.chol(jnp.asarray(t)))
-        np.testing.assert_allclose(L @ L.T, T, atol=1e-12)
+        np.testing.assert_allclose(L @ L.T, T, **tol(0, 1e-12, rtol32=0, atol32=1e-5))
         b = rng.standard_normal(n)
         np.testing.assert_allclose(
             np.asarray(toeplitz.solve(jnp.asarray(t), jnp.asarray(b))),
-            np.linalg.solve(T, b), rtol=1e-9, atol=1e-12,
+            np.linalg.solve(T, b), **tol(1e-9, 1e-12, rtol32=1e-3, atol32=1e-4),
         )
         np.testing.assert_allclose(
             float(toeplitz.logdet(jnp.asarray(t))),
-            np.linalg.slogdet(T)[1], rtol=1e-10,
+            np.linalg.slogdet(T)[1], **tol(1e-10, rtol32=1e-4, atol32=1e-5),
         )
 
     def test_chol_solve_driver(self, rng):
@@ -99,7 +101,7 @@ class TestToeplitz:
         L = np.linalg.cholesky(sl.toeplitz(t))
         np.testing.assert_allclose(
             np.asarray(toeplitz.chol_solve(jnp.asarray(t), jnp.asarray(b))),
-            np.linalg.solve(L, b), rtol=1e-9,
+            np.linalg.solve(L, b), **tol(1e-9, rtol32=1e-3, atol32=1e-4),
         )
 
 
@@ -129,6 +131,7 @@ def _fasthash64_py(data, seed=0):
     return mix(h)
 
 
+@pytest.mark.x64only  # uint64 hash state
 class TestFasthash:
 
     @pytest.mark.parametrize('n', [0, 1, 7, 8, 9, 64, 100])
@@ -160,7 +163,8 @@ class TestFitCheckpoint:
             return gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
                                    checklin=False)
 
-        fit = empbayes_fit({'log(scale)': (0.0, 1.0)}, gpf, {'y': y})
+        fit = empbayes_fit({'log(scale)': (0.0, 1.0)}, gpf, {'y': y},
+                           raises=False)
         path = tmp_path / 'fit.npz'
         fit.save(path)
         state = empbayes_fit.load(path)
@@ -187,9 +191,9 @@ class TestTaylorAndSignature:
 
         x = jnp.asarray(0.7)
         v = float(taylor(coefgen, (), 0, 25, x))
-        np.testing.assert_allclose(v, np.exp(0.7), rtol=1e-12)
+        np.testing.assert_allclose(v, np.exp(0.7), **tol(1e-10, rtol32=1e-4, atol32=1e-5))
         g = float(jax.grad(lambda x: taylor(coefgen, (), 0, 25, x))(x))
-        np.testing.assert_allclose(g, np.exp(0.7), rtol=1e-10)
+        np.testing.assert_allclose(g, np.exp(0.7), **tol(1e-10, rtol32=1e-4, atol32=1e-5))
 
     def test_signature(self):
         from lsqfitgp_tpu._signature import Signature
@@ -213,4 +217,4 @@ class TestTaylorAndSignature:
         d = D(jnp.asarray([1.0, 1.0, 1.0]))
         assert d.in_size == 3
         out = np.asarray(d.partial_invfcn(jnp.asarray([0.1, -0.2, 0.4])))
-        np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(out.sum(), 1.0, **tol(1e-10, rtol32=1e-4, atol32=1e-5))
