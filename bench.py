@@ -3,8 +3,13 @@ regularized Cholesky + solve) throughput.
 
 Metric (per BASELINE.json): Cholesky+solve TFLOP/s at large N.
 
-- main measurement: this framework on the default backend (TPU, fp32)
-  at N=16384;
+- headline: this framework on the default backend (TPU, fp32) at
+  N=16384 — measured first so a tight time budget still produces it;
+- ladder extras (stderr): chol+solve at N=4096/8192, Gram assembly,
+  and one empbayes-style fit iteration (value+grad of the NLL), each
+  skipped if the elapsed budget is exhausted (cold XLA compiles at
+  these sizes cost minutes; the persistent compile cache under
+  .jax_cache makes repeat runs fast);
 - baseline: the reference-equivalent pipeline — lsqfitgp is a pure
   jax-CPU/float64 library, so the baseline is the same computation run
   on CPU in float64 (measured in a subprocess at N=4096 and scaled by
@@ -20,6 +25,13 @@ import os
 import subprocess
 import sys
 import time
+
+_T0 = time.perf_counter()
+_BUDGET = float(os.environ.get('BENCH_BUDGET_SECONDS', 2400))
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
 
 
 def _enable_compile_cache():
@@ -43,80 +55,109 @@ def pipeline_flops(n, nrhs=1):
     return n ** 3 / 3 + 2 * n ** 2 * nrhs
 
 
-def run_pipeline(n, dtype, repeats=2, inner=8):
-    """Time the Gram assembly and the Cholesky+solve density separately.
+def _scan_time(loop, args, inner=10, base=4, reps=3):
+    """Per-iteration time from the difference of two scan lengths,
+    cancelling the ~28 ms remote-tunnel sync latency exactly."""
+    float(loop(*args, inner)); float(loop(*args, base))
 
-    Each measured quantity runs chained iterations inside one jitted
-    ``lax.scan`` (inputs perturbed per step so nothing folds away), then
-    materializes one scalar on the host.  The per-iteration time is the
-    *difference* between an ``inner``- and a ``4``-iteration loop divided
-    by ``inner - 4``, which cancels the per-call remote-tunnel sync
-    latency (~28 ms measured) exactly instead of merely amortizing it.
-    """
-    import jax
+    def t(length):
+        best = float('inf')
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(*args, length))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(t(inner) - t(base), 1e-9) / (inner - base)
+
+
+def make_problem(n, dtype):
     import jax.numpy as jnp
-    from jax import lax
     import numpy
-    from lsqfitgp_tpu.linalg import Chol
-    import lsqfitgp_tpu as lgp
-
     x = jnp.linspace(-10, 10, n, dtype=dtype)
     rng = numpy.random.default_rng(0)
     y = jnp.asarray(rng.standard_normal(n), dtype)
-    k = lgp.ExpQuad(scale=2.0)
+    return x, y
 
-    def gram(x):
-        K = k.core(x[:, None], x[None, :])
-        return K + jnp.asarray(0.01, dtype) * jnp.eye(n, dtype=dtype)
 
-    def chol_solve(K, y):
-        return Chol(K).minus_log_normal_density(y)
-
+def chol_loop(n, dtype):
     import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lsqfitgp_tpu.linalg import Chol
+    import lsqfitgp_tpu as lgp
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def gram_loop(x, length):
-        def body(c, _):
-            K = gram(x + c * jnp.asarray(1e-20, dtype))
-            return jnp.sum(K[:1, :1]) * jnp.asarray(1e-30, dtype), None
-        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)
-        return c
-
-    K0 = jax.jit(gram)(x)
+    k = lgp.ExpQuad(scale=2.0)
+    x, y = make_problem(n, dtype)
+    K0 = jax.jit(lambda x: k.core(x[:, None], x[None, :])
+                 + jnp.asarray(0.01, dtype) * jnp.eye(n, dtype=dtype))(x)
 
     @functools.partial(jax.jit, static_argnums=2)
-    def chol_loop(K, y, length):
+    def loop(K, y, length):
         def body(c, _):
-            v = chol_solve(K + c * jnp.asarray(1e-30, dtype), y)
+            v = Chol(K + c * jnp.asarray(1e-30, dtype)) \
+                .minus_log_normal_density(y)
             return v * jnp.asarray(1e-30, dtype), None
         c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)
         return c
 
-    base = 4
-    t0 = time.perf_counter()
-    float(gram_loop(x, inner)); float(gram_loop(x, base))
-    _log(f'[bench] gram compile n={n}: {time.perf_counter()-t0:.1f}s')
-    t0 = time.perf_counter()
-    out = float(chol_loop(K0, y, inner)); float(chol_loop(K0, y, base))
-    _log(f'[bench] chol compile n={n}: {time.perf_counter()-t0:.1f}s')
-    assert numpy.isfinite(out)
-
-    def per_iter(loop, *args):
-        tb = min(_timed(lambda: float(loop(*args, base)))
-                 for _ in range(repeats))
-        ti = min(_timed(lambda: float(loop(*args, inner)))
-                 for _ in range(repeats))
-        return max(ti - tb, 1e-9) / (inner - base)
-
-    t_gram = per_iter(gram_loop, x)
-    t_chol = per_iter(chol_loop, K0, y)
-    return t_gram, t_chol
+    return loop, (K0, y)
 
 
-def _timed(f):
-    t0 = time.perf_counter()
-    f()
-    return time.perf_counter() - t0
+def gram_loop(n, dtype):
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import lsqfitgp_tpu as lgp
+
+    k = lgp.ExpQuad(scale=2.0)
+    x, _ = make_problem(n, dtype)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(x, length):
+        def body(c, _):
+            K = k.core((x + c)[:, None], x[None, :])
+            # consume the whole matrix through a matvec so XLA must
+            # materialize it (a scalar reduction would be fused away)
+            v = K @ jnp.ones(n, dtype)
+            return jnp.asarray(1e-30, dtype) * v[0], None
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)
+        return c
+
+    return loop, (x,)
+
+
+def fit_iter_loop(n, dtype):
+    """One empbayes-style iteration: value+grad of the whitened NLL."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lsqfitgp_tpu.linalg import Chol
+    import lsqfitgp_tpu as lgp
+
+    x, y = make_problem(n, dtype)
+
+    def nll(w):
+        k = lgp.ExpQuad(scale=jnp.exp(w[0]))
+        K = k.core(x[:, None], x[None, :]) \
+            + jnp.exp(w[1]) * jnp.eye(n, dtype=dtype)
+        return Chol(K).minus_log_normal_density(y)
+
+    vg = jax.value_and_grad(nll)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(w0, length):
+        def body(c, _):
+            v, g = vg(w0 + c * jnp.asarray(1e-30, dtype))
+            return jnp.asarray(1e-30, dtype) * (v + g[0]), None
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)
+        return c
+
+    w0 = jnp.asarray([0.7, -4.0], dtype)
+    return loop, (w0,)
 
 
 def baseline_worker(n):
@@ -125,8 +166,9 @@ def baseline_worker(n):
     jax.config.update('jax_enable_x64', True)
     _enable_compile_cache()
     import jax.numpy as jnp
-    _, t_chol = run_pipeline(n, jnp.float64, repeats=2)
-    print(json.dumps({'t_chol': t_chol, 'n': n}))
+    loop, args = chol_loop(n, jnp.float64)
+    t = _scan_time(loop, args, inner=8)
+    print(json.dumps({'t_chol': t, 'n': n}))
 
 
 def main():
@@ -138,15 +180,42 @@ def main():
     import jax.numpy as jnp
     _enable_compile_cache()
 
-    # note: XLA-TPU Cholesky *compile* time grows with n (~65 s at 8k);
-    # runtime is milliseconds. 8192 keeps the whole bench under ~3 min
-    # cold; the persistent compile cache makes later runs fast.
-    n = 8192
     backend = jax.default_backend()
-    if backend == 'cpu':
-        n = 4096  # CI/dev fallback
-    t_gram, t_chol = run_pipeline(n, jnp.float32, inner=16)
-    tflops = pipeline_flops(n) / t_chol / 1e12
+    dtype = jnp.float32
+    nhead = 16384 if backend != 'cpu' else 2048
+
+    # headline first: chol+solve at the largest single-chip size
+    t0 = time.perf_counter()
+    loop, args = chol_loop(nhead, dtype)
+    t_head = _scan_time(loop, args)
+    tflops = pipeline_flops(nhead) / t_head / 1e12
+    _log(f'[bench] chol+solve n={nhead}: {t_head * 1e3:.2f} ms, '
+         f'{tflops:.2f} TFLOP/s '
+         f'(setup+compile {time.perf_counter() - t0:.0f}s)')
+
+    # ladder extras, each guarded by the time budget
+    extras = {}
+    for name, maker, sizes in (
+        ('chol', chol_loop, (4096, 8192)),
+        ('gram', gram_loop, (4096, 8192, 16384)),
+        ('fit_iter', fit_iter_loop, (4096, 16384)),
+    ):
+        for n in sizes:
+            if backend == 'cpu' or _elapsed() > _BUDGET:
+                break
+            try:
+                t0 = time.perf_counter()
+                loop, args = maker(n, dtype)
+                t = _scan_time(loop, args)
+                extras[f'{name}_n{n}'] = t
+                msg = f'[bench] {name} n={n}: {t * 1e3:.2f} ms'
+                if name == 'chol':
+                    msg += f', {pipeline_flops(n) / t / 1e12:.2f} TFLOP/s'
+                if name == 'gram':
+                    msg += f', {n * n * 4 / t / 1e9:.0f} GB/s written'
+                _log(msg + f' (setup {time.perf_counter() - t0:.0f}s)')
+            except Exception as exc:  # noqa: BLE001 - extras are best-effort
+                _log(f'[bench] {name} n={n} failed: {exc!r}')
 
     # reference-equivalent CPU/f64 baseline
     nb = 4096
@@ -157,12 +226,13 @@ def main():
         )
         base = json.loads(out.stdout.strip().splitlines()[-1])
         base_tflops = pipeline_flops(nb) / base['t_chol'] / 1e12
+        _log(f'[bench] baseline cpu/f64 n={nb}: {base_tflops:.4f} TFLOP/s')
         vs = tflops / base_tflops
     except Exception:
         vs = float('nan')
 
     print(json.dumps({
-        'metric': f'gp_cholesky_solve_tflops_n{n}_{backend}',
+        'metric': f'gp_cholesky_solve_tflops_n{nhead}_{backend}',
         'value': round(tflops, 4),
         'unit': 'TFLOP/s',
         'vs_baseline': round(vs, 2) if vs == vs else None,
