@@ -30,9 +30,12 @@ def make_fit(rng, true_logscale=np.log(2.0), true_logamp=0.3, n=60,
         return gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
                                checklin=False)
 
+    # 'precision loss' exits with a good iterate are routine for these
+    # statistical fixtures (see the noise-floor note in fit.py); the
+    # assertions judge the estimate itself
     return empbayes_fit(
         {'log(scale)': (0.0, 1.5), 'log(amp)': (0.0, 1.5)},
-        gpf, {'y': y},
+        gpf, {'y': y}, raises=False,
     )
 
 
