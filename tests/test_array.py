@@ -35,7 +35,12 @@ def test_nested():
     s = asarray(x)
     assert isinstance(s['u'], StructuredArray)
     np.testing.assert_array_equal(np.asarray(s['u']['q']), [4, 5, 6])
-    assert s.dtype == x.dtype
+    if np.asarray(s['v']).dtype == np.float64:
+        assert s.dtype == x.dtype
+    else:  # f32 lane: field values are stored at the compute dtype
+        assert s.dtype.names == x.dtype.names
+        assert s.dtype == np.dtype(
+            [('u', [('p', 'f4'), ('q', 'f4')]), ('v', 'f4')])
 
 
 def test_broadcast_indexing():
