@@ -82,9 +82,9 @@ def skipifabstract(check):
     with jax.ensure_compile_time_eval():
         try:
             check()
-        except jax.errors.TracerArrayConversionError:
-            pass
-        except jax.errors.ConcretizationTypeError:
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.TracerBoolConversionError,
+                jax.errors.ConcretizationTypeError):
             pass
 
 

@@ -346,12 +346,15 @@ class GP:
 
     def _checklinear(self, transf, shapes):
         """Verify transf is linear via a jvp identity probe
-        (reference ``_base.py:54-84``)."""
+        (reference ``_base.py:54-84``).  Skipped silently when the
+        transformation closes over traced values (inside jit) — the
+        same eager-check seam as every other sanity check."""
         dtype = _config.default_float()
         rng = numpy.random.default_rng(0)
         xs = [jnp.asarray(rng.standard_normal(s), dtype) for s in shapes]
         zeros = [jnp.zeros(s, dtype) for s in shapes]
-        with jax.ensure_compile_time_eval():
+
+        def check():
             y0 = transf(*zeros)
             direct = transf(*xs)
             _, tangent = jax.jvp(transf, zeros, xs)
@@ -363,6 +366,8 @@ class GP:
                     'the transformation is not linear; pass checklin=False '
                     'to skip this check'
                 )
+
+        _jaxutil.skipifabstract(check)
 
     def addtransf(self, tensors, key, *, axes=1):
         """Add a tensor-contraction linear transformation:
