@@ -380,14 +380,24 @@ class empbayes_fit:
             kw = dict(minkw)
             counts = {'fun': 0, 'jac': 0}
             itercount = [0]
+            # per-iteration wall clock (reference _Callback,
+            # _fit.py:855-964): time between successive minimizer
+            # callbacks attributes line searches to their iteration
+            self.itertimes = []
+            _lastiter = [time.perf_counter()]
 
             def callback(xk):
                 itercount[0] += 1
+                now = time.perf_counter()
+                self.itertimes.append(now - _lastiter[0])
+                _lastiter[0] = now
                 if verbosity >= 3:
                     v = float(nll_c(jnp.asarray(xk)))
-                    log.log(f'iter {itercount[0]}: nll = {v:.6g}', 3)
+                    log.log(
+                        f'iter {itercount[0]}: nll = {v:.6g} '
+                        f'({self.itertimes[-1] * 1e3:.1f} ms)', 3)
 
-            cb = callback if verbosity >= 3 else None
+            cb = callback
             if method == 'nograd':
                 def f(w):
                     counts['fun'] += 1
@@ -460,6 +470,19 @@ class empbayes_fit:
                 hess_inv = hess_inv.todense()  # L-BFGS LinearOperator
             nit = int(res.nit)
         self.elapsed = time.perf_counter() - t0
+        its = getattr(self, 'itertimes', [])
+        if len(its) >= 3:
+            # the first iteration carries the XLA compile; its excess
+            # over the steady-state median estimates the jit overhead
+            # (reference _Callback jit-overhead estimation)
+            steady = sorted(its[1:])[len(its[1:]) // 2]
+            self.jit_overhead = max(0.0, its[0] - steady)
+            log.log(
+                f'per-iteration median {steady * 1e3:.1f} ms, '
+                f'estimated jit overhead {self.jit_overhead:.2f} s', 2)
+        else:
+            self.itertimes = its
+            self.jit_overhead = None
         log.log(f'minimization done in {self.elapsed:.2f}s, {nit} iters, '
                 f'success={success}', 1)
 

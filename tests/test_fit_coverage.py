@@ -157,3 +157,28 @@ def test_addtransf_validation(rng):
     Kab = np.asarray(gp._assemble(['a'], ['b']))
     want = T @ Ka @ T.T + 4.0 * Kb + 2.0 * (T @ Kab) + 2.0 * (T @ Kab).T
     np.testing.assert_allclose(K, want, rtol=1e-6, atol=1e-8)
+
+
+def test_iteration_timing_records(rng):
+    import numpy as np
+    from lsqfitgp_tpu import GP, empbayes_fit
+    from lsqfitgp_tpu.kernels import ExpQuad
+    import jax.numpy as jnp
+
+    x = np.sort(rng.uniform(-3, 3, 15))
+    y = np.sin(x)
+
+    def gpf(hp):
+        return (
+            GP(ExpQuad(scale=hp['scale']))
+            .addx(x, 'f').addcov(0.01 * jnp.eye(15), 'e')
+            .addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                          checklin=False)
+        )
+
+    fit = empbayes_fit({'log(scale)': (0.0, 1.0)}, gpf, {'y': y},
+                       raises=False)
+    assert len(fit.itertimes) >= 1
+    assert all(t >= 0 for t in fit.itertimes)
+    if len(fit.itertimes) >= 3:
+        assert fit.jit_overhead is None or fit.jit_overhead >= 0
