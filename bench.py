@@ -119,8 +119,10 @@ def gram_loop(n, dtype):
     def loop(x, length):
         def body(c, _):
             K = k.core((x + c)[:, None], x[None, :])
-            # consume the whole matrix through a matvec so XLA must
-            # materialize it (a scalar reduction would be fused away)
+            # a reduction consumer lets XLA fuse the assembly into a
+            # rowwise loop without materializing K; the barrier forces
+            # the full matrix to memory first
+            K = lax.optimization_barrier(K)
             v = K @ jnp.ones(n, dtype)
             return jnp.asarray(1e-30, dtype) * v[0], None
         c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)

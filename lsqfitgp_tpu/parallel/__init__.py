@@ -14,7 +14,7 @@ expressed over a `jax.sharding.Mesh`:
 
 from ._mesh import (
     make_mesh, sharded_gram, sharded_nll, sharded_nll_distributed,
-    sharded_train_step,
+    sharded_posterior, sharded_train_step,
 )
 from ._pchol import (
     block_cholesky, block_solve_lower, block_solve_lower_t,

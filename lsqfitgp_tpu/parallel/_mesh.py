@@ -141,6 +141,95 @@ def sharded_nll_distributed(kernel_fn, x, y, noise_var, *, mesh,
     return fn(x, y, jnp.asarray(noise_var))
 
 
+def sharded_posterior(kernel_fn, x, y, xs, noise_var, *, mesh,
+                      axis='r', block=128, layout='cyclic'):
+    """Distributed GP posterior (mean, variance) at prediction points
+    ``xs`` given data (x, y): assembly, factorization, and both solves
+    in ONE fused ``shard_map``, no device ever holding more than its
+    (n/D, n) training strip and an (n/D, ns) cross strip.
+
+    mean = Kxs' (Kxx+noise)⁻¹ y,  var = diag(Kss) − colsums((L⁻¹Kxs)²),
+    computed by folding each solved block row of W = L⁻¹Kxs into the
+    running mean/variance statistics instead of materializing W.
+    """
+    import functools
+    from jax import lax
+    from . import _pchol
+
+    n = y.shape[0]
+    ns = xs.shape[0]
+    ndev = mesh.shape[axis]
+    if n % ndev:
+        raise ValueError(f'n={n} must be divisible by devices={ndev}')
+    rows_per = n // ndev
+    block = min(block, rows_per)
+    while rows_per % block:
+        block -= 1
+    nb = n // block
+
+    def body(x, y, xs, noise_var):
+        me = lax.axis_index(axis)
+        g_rows = _pchol._global_rows(me, rows_per, block, ndev, layout)
+        xl = jnp.take(x, g_rows)
+        K_local = kernel_fn(xl[:, None], x[None, :])
+        K_local = K_local.at[
+            jnp.arange(rows_per), g_rows
+        ].add(jnp.asarray(noise_var, K_local.dtype))
+        L_local = _pchol._chol_local(
+            K_local, axis=axis, block=block, n=n, ndev=ndev,
+            layout=layout,
+        )
+        z = _pchol._solve_lower_local(
+            L_local, y, axis=axis, block=block, n=n, ndev=ndev,
+            layout=layout,
+        )
+        Ks_local = kernel_fn(xl[:, None], xs[None, :])  # (rows_per, ns)
+
+        # forward substitution on W = L⁻¹ Kxs, folding each solved
+        # block row into the posterior statistics
+        def step(k, carry):
+            acc, mean, var = carry
+            c0 = (jnp.int32(k) * block).astype(jnp.int32)
+            zero = jnp.int32(0)
+            owner, slot0 = _pchol._owner_slot(
+                k, block, rows_per, ndev, layout)
+            is_owner = me == owner
+            rhs = lax.dynamic_slice(Ks_local, (slot0, zero),
+                                    (block, ns)) \
+                - lax.dynamic_slice(acc, (slot0, zero), (block, ns))
+            Lkk = lax.dynamic_slice(L_local, (slot0, c0),
+                                    (block, block))
+            Lkk = jnp.where(is_owner, Lkk,
+                            jnp.eye(block, dtype=Lkk.dtype))
+            Wk = lax.linalg.triangular_solve(
+                Lkk, rhs, left_side=True, lower=True)
+            Wk = _pchol._masked_psum(Wk, is_owner, axis)
+            cols = lax.dynamic_slice(L_local, (zero, c0),
+                                     (rows_per, block))
+            acc = acc + cols @ Wk
+            zk = lax.dynamic_slice(z, (c0,), (block,))
+            mean = mean + Wk.T @ zk
+            var = var - jnp.sum(Wk * Wk, axis=0)
+            return acc, mean, var
+
+        kss = jax.vmap(lambda p: kernel_fn(p, p))(xs)
+        acc0 = jnp.zeros((rows_per, ns), K_local.dtype)
+        mean0 = jnp.zeros(ns, K_local.dtype)
+        acc0, mean0, kss = _pchol._pvary((acc0, mean0, kss), axis)
+        _, mean, var = lax.fori_loop(0, nb, step, (acc0, mean0, kss))
+        return lax.pmean(mean, axis), lax.pmean(var, axis)
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    return fn(x, y, xs, jnp.asarray(noise_var))
+
+
 def sharded_train_step(kernel_family, *, mesh):
     """Build a jittable training step ``step(params, x, y) -> (loss,
     grads)`` where the Gram assembly is sharded over the mesh.

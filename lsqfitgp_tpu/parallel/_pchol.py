@@ -106,6 +106,18 @@ def _chol_local(A_local, *, axis, block, n, ndev, layout):
     g_rows = _global_rows(me, rows_per, block, ndev, layout)
     nb = n // block
     gidx = jnp.arange(n)
+    # self-healing diagonal lift sized by the GLOBAL matrix scale
+    # (pmax over the row strips), same strategy as the single-chip
+    # blocked factorization (_blocked._chol_lifted): a near-singular
+    # trailing block refactors itself with a small bump instead of
+    # poisoning the whole factor with NaNs — essential in float32
+    from ..linalg import _blocked
+    local_scale = lax.stop_gradient(
+        jnp.max(jnp.sum(jnp.abs(A_local), axis=1)))
+    # all_gather + max instead of lax.pmax: pmax has no AD rule, and
+    # the lift scale must not carry gradients anyway
+    bump = _blocked._LIFT * jnp.finfo(A_local.dtype).eps \
+        * jnp.max(lax.all_gather(local_scale, axis))
 
     def step(k, L_local):
         c0 = (jnp.int32(k) * block).astype(jnp.int32)
@@ -115,7 +127,7 @@ def _chol_local(A_local, *, axis, block, n, ndev, layout):
         panel = _gather_panel(strip, axis, rows_per, block, ndev, layout)
         # 2) redundant diagonal factorization + panel solve
         diag = lax.dynamic_slice(panel, (c0, zero), (block, block))
-        Lkk = lax.linalg.cholesky(diag)
+        Lkk = _blocked._chol_lifted(diag, bump)
         sol = lax.linalg.triangular_solve(
             Lkk, panel, left_side=False, lower=True, transpose_a=True,
         )                                                     # (n, B)
@@ -176,17 +188,21 @@ def _masked_psum(v, cond, axis):
 
 
 def _solve_lower_local(L_local, b, *, axis, block, n, ndev, layout):
-    """Forward substitution L x = b, distributed:
+    """Forward substitution L X = B, distributed (B: (n,) or (n, m)):
 
     each device keeps ``acc = Σ_solved L_local[:, j] x_j`` for its own
     rows, so the owner of block k reads its rhs straight from ``acc``,
-    solves the B×B system, and one masked psum broadcasts the B new
-    entries.  Comm O(n log D) total; substitution FLOPs distributed as
+    solves the B×B system, and one masked psum broadcasts the solved
+    block.  Comm O(n·m·log D) total; substitution FLOPs distributed as
     (rows_per × B) matmuls per step."""
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    m = b.shape[1]
     rows_per = n // ndev
     me = lax.axis_index(axis)
     g_rows = _global_rows(me, rows_per, block, ndev, layout)
-    bl = jnp.take(b, g_rows)             # local rows' rhs entries
+    bl = jnp.take(b, g_rows, axis=0)     # local rows' rhs entries
     nb = n // block
 
     def step(k, carry):
@@ -195,26 +211,27 @@ def _solve_lower_local(L_local, b, *, axis, block, n, ndev, layout):
         zero = jnp.int32(0)
         owner, slot0 = _owner_slot(k, block, rows_per, ndev, layout)
         is_owner = me == owner
-        rhs = lax.dynamic_slice(bl, (slot0,), (block,)) \
-            - lax.dynamic_slice(acc, (slot0,), (block,))
+        rhs = lax.dynamic_slice(bl, (slot0, zero), (block, m)) \
+            - lax.dynamic_slice(acc, (slot0, zero), (block, m))
         Lkk = lax.dynamic_slice(L_local, (slot0, c0), (block, block))
         # non-owners hold garbage here; solving against it would create
         # NaNs whose *zero cotangents* still poison reverse mode (0·NaN)
         Lkk = jnp.where(is_owner, Lkk, jnp.eye(block, dtype=Lkk.dtype))
         xk = lax.linalg.triangular_solve(
-            Lkk, rhs[:, None], left_side=True, lower=True
-        )[:, 0]
+            Lkk, rhs, left_side=True, lower=True
+        )
         xk = _masked_psum(xk, is_owner, axis)
-        x = lax.dynamic_update_slice(x, xk, (c0,))
+        x = lax.dynamic_update_slice(x, xk, (c0, zero))
         cols = lax.dynamic_slice(L_local, (zero, c0), (rows_per, block))
         acc = acc + cols @ xk
         return x, acc
 
-    x0 = jnp.zeros(n, b.dtype)
-    acc0 = jnp.zeros(rows_per, b.dtype)
+    x0 = jnp.zeros((n, m), b.dtype)
+    acc0 = jnp.zeros((rows_per, m), b.dtype)
     x0, acc0 = _pvary((x0, acc0), axis)
     x, _ = lax.fori_loop(0, nb, step, (x0, acc0))
-    return lax.pmean(x, axis)
+    x = lax.pmean(x, axis)
+    return x[:, 0] if vec else x
 
 
 def _solve_lower_t_local(L_local, b, *, axis, block, n, ndev, layout):

@@ -230,3 +230,47 @@ class TestDistributedSolves:
 
         want = float(jax.grad(nll_dense)(0.5))
         np.testing.assert_allclose(g, want, **tol(1e-6, rtol32=1e-2))
+
+
+class TestShardedPosterior:
+
+    def test_matches_dense(self, mesh1d, rng):
+        from lsqfitgp_tpu.parallel import sharded_posterior
+        n, ns = 128, 40
+        x = jnp.asarray(np.sort(rng.uniform(-5, 5, n)))
+        xs = jnp.asarray(np.linspace(-4, 4, ns))
+        y = jnp.asarray(np.sin(np.asarray(x))
+                        + 0.1 * rng.standard_normal(n))
+        k = lgp.ExpQuad(scale=1.5)
+        noise = 0.05
+
+        mean, var = sharded_posterior(
+            k.core, x, y, xs, noise, mesh=mesh1d, block=16)
+
+        K = np.asarray(k(np.asarray(x)[:, None], np.asarray(x)[None, :]))
+        K = K + noise * np.eye(n)
+        Ks = np.asarray(k(np.asarray(x)[:, None], np.asarray(xs)[None, :]))
+        want_mean = Ks.T @ np.linalg.solve(K, np.asarray(y))
+        want_var = 1.0 - np.sum(
+            np.linalg.solve(np.linalg.cholesky(K), Ks) ** 2, axis=0)
+        np.testing.assert_allclose(np.asarray(mean), want_mean,
+                                   **tol(1e-8, 1e-10, rtol32=1e-3,
+                                         atol32=1e-3))
+        np.testing.assert_allclose(np.asarray(var), want_var,
+                                   **tol(1e-8, 1e-10, rtol32=1e-3,
+                                         atol32=1e-3))
+        assert np.all(np.asarray(var) >= -1e-9)
+
+    def test_matrix_rhs_solve(self, mesh1d, rng):
+        # the generalized forward substitution with an (n, m) RHS
+        n, B, m = 128, 16, 5
+        A = spd(rng, n)
+        Aj = jax.device_put(
+            jnp.asarray(A), NamedSharding(mesh1d, P('r', None)))
+        L = block_cholesky(Aj, mesh1d, block=B)
+        Bm = jnp.asarray(rng.standard_normal((n, m)))
+        X = np.asarray(block_solve_lower(L, Bm, mesh1d, block=B))
+        want = np.linalg.solve(np.linalg.cholesky(np.asarray(A, 'f8')),
+                               np.asarray(Bm, 'f8'))
+        np.testing.assert_allclose(X, want, **tol(0, 1e-9, rtol32=0,
+                                                  atol32=2e-3))
