@@ -167,6 +167,16 @@ class empbayes_fit:
         vs likelihood) via host-callback marks threaded through the
         compiled objective; read them from ``.phase_timer.totals()``.
         Adds callback latency — leave off in production fits.
+    custom_nll : callable, optional
+        ``custom_nll(hp) -> scalar`` replaces the GP-built marginal
+        likelihood entirely (``gpfactory``/``data`` may be omitted):
+        the whitened-prior term, whitening, optimizers, fix masks, and
+        covariance estimation all still apply.  This is the bridge to
+        multi-chip fits: pass a closure over
+        ``parallel.sharded_nll_distributed`` and the whole MAP fit runs
+        against the device mesh.  ``method='fisher'`` and
+        ``covariance='fisher'`` are unavailable (they need the (K, r)
+        assembly).
 
     Attributes
     ----------
@@ -178,13 +188,28 @@ class empbayes_fit:
     minargs : dict of arguments passed to the minimizer.
     """
 
-    def __init__(self, hyperprior, gpfactory, data, *,
+    def __init__(self, hyperprior, gpfactory=None, data=None, *,
                  method='gradient', optimizer='scipy', initial='priormean',
                  covariance='auto', fix=None, additional_loss=None,
                  jit=True, raises=True, verbosity=0, minkw={}, mlkw={},
-                 gpfactorykw={}, forward=False, seed=0, timing=False):
+                 gpfactorykw={}, forward=False, seed=0, timing=False,
+                 custom_nll=None):
         log = Logger(verbosity)
         self.log = log
+        if custom_nll is None and (gpfactory is None or data is None):
+            raise TypeError(
+                'provide gpfactory and data, or custom_nll'
+            )
+        if custom_nll is not None:
+            if method == 'fisher' or covariance == 'fisher':
+                raise ValueError(
+                    "method/covariance='fisher' need the (K, r) assembly "
+                    "and are unavailable with custom_nll; use "
+                    "covariance='hess'"
+                )
+            # stub data plumbing: the custom objective owns the data
+            gpfactory = gpfactory or (lambda hp, **kw: None)
+            data = {} if data is None else data
         prior, pmean_prior, pdec = _parse_hyperprior(hyperprior)
         self.prior = prior
         given, givencov, data_callable = _parse_data(data)
@@ -231,22 +256,33 @@ class empbayes_fit:
             # jax.profiler annotations mark the fit phases in TPU traces
             # in addition to the optional PhaseTimer callbacks
             pt = self.phase_timer
-            with jax.named_scope('empbayes_fit.gpbuild'):
+            if custom_nll is not None:
+                # user-supplied objective of the hyperparameters (e.g.
+                # parallel.sharded_nll_distributed over a device mesh)
                 hp = make_hp(w)
-                if data_callable:
-                    d = given(hp, **gpfactorykw)
-                    g, gcov = (d if isinstance(d, tuple) else (d, None))
-                else:
-                    g, gcov = given, givencov
-                gp = gpfactory(hp, **gpfactorykw)
-            with jax.named_scope('empbayes_fit.decomp'):
-                dec, r = gp._prior_decomp(g, gcov, **mlkw)
-                if pt is not None:
-                    # mark on the factor itself: r is only the data
-                    # vector, it does not depend on the factorization
-                    dec._L = pt.mark(dec._L, 'gpbuild+decomp')
-            with jax.named_scope('empbayes_fit.likelihood'):
-                out = dec.minus_log_normal_density(r)
+                with jax.named_scope('empbayes_fit.custom_nll'):
+                    out = custom_nll(hp)
+                    if pt is not None:
+                        out = pt.mark(out, 'gpbuild+decomp')
+            else:
+                with jax.named_scope('empbayes_fit.gpbuild'):
+                    hp = make_hp(w)
+                    if data_callable:
+                        d = given(hp, **gpfactorykw)
+                        g, gcov = (d if isinstance(d, tuple)
+                                   else (d, None))
+                    else:
+                        g, gcov = given, givencov
+                    gp = gpfactory(hp, **gpfactorykw)
+                with jax.named_scope('empbayes_fit.decomp'):
+                    dec, r = gp._prior_decomp(g, gcov, **mlkw)
+                    if pt is not None:
+                        # mark on the factor itself: r is only the data
+                        # vector, not a factorization consumer
+                        dec._L = pt.mark(dec._L, 'gpbuild+decomp')
+                with jax.named_scope('empbayes_fit.likelihood'):
+                    out = dec.minus_log_normal_density(r)
+            with jax.named_scope('empbayes_fit.prior'):
                 wfree = jnp.where(fixmask, 0.0, w)
                 out = out + 0.5 * jnp.dot(wfree, wfree)
                 if additional_loss is not None:
@@ -609,7 +645,13 @@ class empbayes_fit:
 
     def gp(self):
         """The GP built at the MAP hyperparameters."""
-        return self.gpfactory(self.pmap, **self.gpfactorykw)
+        gp = self.gpfactory(self.pmap, **self.gpfactorykw)
+        if gp is None:
+            raise TypeError(
+                'no gpfactory: this fit used custom_nll; build the '
+                'model from .pmap yourself'
+            )
+        return gp
 
     # -- checkpoint / resume (new vs the reference, SURVEY §5: the
     # reference never persists fit state) --------------------------------

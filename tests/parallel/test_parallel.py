@@ -274,3 +274,37 @@ class TestShardedPosterior:
                                np.asarray(Bm, 'f8'))
         np.testing.assert_allclose(X, want, **tol(0, 1e-9, rtol32=0,
                                                   atol32=2e-3))
+
+
+def test_empbayes_fit_distributed(mesh1d, rng):
+    """Full MAP fit (whitened hyperprior + scipy driver + Laplace
+    covariance) with the objective evaluated distributed over the mesh
+    via custom_nll — the multi-chip empbayes_fit bridge."""
+    from lsqfitgp_tpu import empbayes_fit
+
+    n = 128
+    x = jnp.asarray(np.sort(rng.uniform(-5, 5, n)))
+    k_true = lgp.ExpQuad(scale=2.0)
+    K = np.asarray(k_true(np.asarray(x)[:, None], np.asarray(x)[None, :]))
+    y = jnp.asarray(
+        np.linalg.cholesky(np.asarray(K, 'f8') + 1e-6 * np.eye(n))
+        @ rng.standard_normal(n) + 0.1 * rng.standard_normal(n))
+
+    def nll(hp):
+        k = lgp.ExpQuad(scale=hp['scale'])
+        return sharded_nll_distributed(
+            k.core, x, y, 0.01, mesh=mesh1d, block=16)
+
+    fit = empbayes_fit({'log(scale)': (0.0, 1.0)}, custom_nll=nll,
+                       raises=False)
+    s = float(fit.p['scale'].mean)
+    assert 0.3 < s < 8.0
+    assert float(fit.p['scale'].sdev) > 0
+
+    # fisher paths need the (K, r) assembly
+    with pytest.raises(ValueError):
+        empbayes_fit({'a': (0.0, 1.0)}, custom_nll=nll, method='fisher')
+    with pytest.raises(TypeError):
+        empbayes_fit({'a': (0.0, 1.0)})
+    with pytest.raises(TypeError):
+        fit.gp()
