@@ -42,23 +42,28 @@ def main():
     mesh = Mesh(devs, ('r',))
     print(f'mesh: {len(devs)} x {devs[0].platform} devices')
 
-    def nll(log_scale):
-        k = lgp.ExpQuad(scale=jnp.exp(log_scale))
+    # the full MAP machinery (whitened hyperprior, scipy driver,
+    # Laplace covariance) against the distributed objective
+    def nll(hp):
+        k = lgp.ExpQuad(scale=hp['scale'])
         return sharded_nll_distributed(
-            k.core, x, y, 0.01, mesh=mesh, block=32) / n
+            k.core, x, y, 0.01, mesh=mesh, block=32)
 
-    vg = jax.jit(jax.value_and_grad(nll))
+    fit = lgp.empbayes_fit({'log(scale)': (0.0, 1.0)}, custom_nll=nll,
+                           raises=False)
+    print(f"fitted scale: {fit.p['scale'].mean:.3f} "
+          f"+- {fit.p['scale'].sdev:.3f}")
+    assert 0.2 < float(fit.p['scale'].mean) < 5.0
 
-    # gradient descent (clipped) on the single hyperparameter
-    w = jnp.asarray(0.0)
-    for i in range(40):
-        v, g = vg(w)
-        w = w - 0.2 * jnp.clip(g, -1.0, 1.0)
-        if i % 10 == 0:
-            print(f'iter {i:3d}: nll/n = {float(v):8.4f},  '
-                  f'scale = {float(jnp.exp(w)):.3f}')
-    print(f'fitted scale: {float(jnp.exp(w)):.3f}')
-    assert 0.2 < float(jnp.exp(w)) < 5.0
+    # distributed posterior at new points
+    from lsqfitgp_tpu.parallel import sharded_posterior
+    xs = jnp.linspace(-4, 4, 64)
+    k = lgp.ExpQuad(scale=float(fit.p['scale'].mean))
+    mean, var = sharded_posterior(k.core, x, y, xs, 0.01, mesh=mesh,
+                                  block=32)
+    print(f'posterior mean range: [{float(mean.min()):.2f}, '
+          f'{float(mean.max()):.2f}], min var {float(var.min()):.4f}')
+    assert float(var.min()) > -1e-9
 
 
 if __name__ == '__main__':
