@@ -164,7 +164,8 @@ class Chol(Decomposition):
 
     _BLOCK = 512
 
-    def __init__(self, K, *, epsrel='auto', epsabs=0, blocked='auto'):
+    def __init__(self, K, *, epsrel='auto', epsabs=0, blocked='auto',
+                 precision=None, block=None):
         K = jnp.asarray(K)
         n = K.shape[0]
         epsrel, epsabs = _parse_eps(epsrel, epsabs, n, K.dtype)
@@ -174,10 +175,18 @@ class Chol(Decomposition):
         bound = jnp.max(s * (jnp.abs(K) @ s))
         eps = epsrel * bound + epsabs
         Ks = K * s[:, None] * s[None, :] + eps * jnp.eye(n, dtype=K.dtype)
+        if block is not None:
+            # per-instance panel width (e.g. tuned per problem size);
+            # the solvers read it back from _BLOCK
+            self._BLOCK = int(block)
         if blocked == 'auto':
             blocked = n >= 1024
         if blocked:
-            L, Dinv = _blocked.chol_factor(Ks, self._BLOCK)
+            # precision=None → adaptive (fast bf16_3x pass, HIGHEST
+            # refactorization with self-healing lifts on non-finite);
+            # pass 'highest' to force single-pass f32-grade matmuls
+            L, Dinv = _blocked.chol_factor(Ks, self._BLOCK, 128,
+                                           precision)
             # materialize the factor before downstream consumers: without
             # this XLA re-fuses strip computations into each solve's row
             # slices (measured +2.2 ms at n=8192 on v5e)

@@ -207,3 +207,19 @@ def test_fishvec_cotangent(rng):
     (got,) = vjp((CK, cr))
     np.testing.assert_allclose(np.asarray(got), want,
                                **tol(1e-10, rtol32=1e-4, atol32=1e-4))
+
+
+def test_chol_knobs(rng):
+    # precision / block / blocked pass-throughs all factor correctly
+    n = 64
+    K = random_psd(rng, n) + n * np.eye(n)
+    b = rng.standard_normal(n)
+    ref = np.linalg.solve(np.asarray(K, 'f8'), np.asarray(b, 'f8'))
+    for kw in (dict(), dict(precision='highest'),
+               dict(blocked=True, block=16),
+               dict(blocked=True, block=16, precision='highest'),
+               dict(blocked=False)):
+        d = Chol(jnp.asarray(K), **kw)
+        x = np.asarray(d.ginv_linear(jnp.asarray(b)), 'f8')
+        np.testing.assert_allclose(x, ref, **tol(1e-8, 1e-10,
+                                                 rtol32=1e-2, atol32=1e-3))
