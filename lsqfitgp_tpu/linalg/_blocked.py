@@ -176,14 +176,37 @@ def _chol_square(Kp, n, nstrips, block, b1, precision, bump):
     return L[:n, :n], jnp.stack(Dinvs)
 
 
-def _chol_strips(Kp, n, nstrips, block, b1, precision, bump):
+def _chol_strips(Kp, n, nstrips, block, b1, precision, bump, sp=None,
+                 eps=None):
     """Right-looking over lower-trapezoid column strips: touches only
     the lower triangle (half the trailing FLOPs of `_chol_square`, at
     the cost of many small update matmuls).  The default everywhere
-    (see _pick_scheme)."""
-    strips = [
-        Kp[j * block:, j * block:(j + 1) * block] for j in range(nstrips)
-    ]
+    (see _pick_scheme).
+
+    ``sp``/``eps``: optional diagonal scaling s (padded) and diagonal
+    regularization applied LAZILY as each strip is first read — the
+    scaled matrix ``s Kp s' + eps I`` is never materialized (a full
+    extra HBM write+read pass, ~16% of the pipeline at n=8192)."""
+    if sp is None:
+        strips = [
+            Kp[j * block:, j * block:(j + 1) * block]
+            for j in range(nstrips)
+        ]
+    else:
+        strips = [
+            Kp[j * block:, j * block:(j + 1) * block]
+            * sp[j * block:, None] * sp[None, j * block:(j + 1) * block]
+            for j in range(nstrips)
+        ]
+    if eps is not None:
+        # eps only on the REAL diagonal: the identity padding must stay
+        # exactly 1 (it contributes log 1 = 0 to the logdet)
+        idx = jnp.arange(block)
+        strips = [
+            S.at[:block, :block].add(eps * jnp.diag(
+                (j * block + idx < n).astype(Kp.dtype)))
+            for j, S in enumerate(strips)
+        ]
     Dinvs = []
     for k in range(nstrips):
         S = strips[k]
@@ -338,19 +361,16 @@ def chol_factor(K, block=512, b1=128, precision=None, scheme='auto'):
     )
 
 
-@chol_factor.defjvp
-def _chol_factor_jvp(block, b1, precision, scheme, primals, tangents):
-    K, = primals
-    dK, = tangents
-    L, Dinv = chol_factor(K, block, b1, precision, scheme)
+def _factor_tangent(L, Dinv, dK, block, precision):
+    """(dL, dDinv) from the symmetric tangent dK of the factored matrix:
+    dL = L Phi(L^-1 dK L^-T), Phi = tril with halved diagonal
+    (differential of K = L L'; same rule as XLA's, computed with the
+    blocked matmul solves).  Linear + transposable in dK, so reverse
+    mode falls out by transposition.  dK is symmetrized first, which
+    makes the transposed (reverse-mode) cotangent symmetric — the same
+    convention as lax.linalg.cholesky's gradient."""
     prec = _precision(precision)
     kw = dict(block=block, Dinv=Dinv, precision=precision)
-    # dL = L Phi(L^-1 dK L^-T), Phi = tril with halved diagonal
-    # (differential of K = L L'; same rule as XLA's, computed with the
-    # blocked matmul solves).  Linear + transposable in dK, so reverse
-    # mode falls out by transposition.  dK is symmetrized first, which
-    # makes the transposed (reverse-mode) cotangent symmetric — the
-    # same convention as lax.linalg.cholesky's gradient.
     dK = 0.5 * (dK + dK.T)
     W = solve_lower(L, dK, **kw)
     A = solve_lower(L, W.T, **kw).T
@@ -374,6 +394,73 @@ def _chol_factor_jvp(block, b1, precision, scheme, primals, tangents):
     dLkk = jnp.stack(dLkk)
     dDinv = -jnp.einsum(
         'kab,kbc,kcd->kad', Dinv, dLkk, Dinv, precision=prec)
+    return dL, dDinv
+
+
+@chol_factor.defjvp
+def _chol_factor_jvp(block, b1, precision, scheme, primals, tangents):
+    K, = primals
+    dK, = tangents
+    L, Dinv = chol_factor(K, block, b1, precision, scheme)
+    dL, dDinv = _factor_tangent(L, Dinv, dK, block, precision)
+    return (L, Dinv), (dL, dDinv)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+def chol_factor_scaled(K, s, eps, block=512, b1=128, precision=None,
+                       scheme='auto'):
+    """(L, Dinv) of ``diag(s) K diag(s) + eps I`` WITHOUT materializing
+    the scaled matrix: the scaling and the diagonal regularization are
+    fused into each strip's first read (saving a full n² HBM write+read
+    pass — ~16% of the chol+solve pipeline at n=8192).  Same contract
+    as `chol_factor` otherwise; the fallback/lift pass recomputes the
+    scaled Gershgorin bound it needs with one |K| matvec."""
+    scheme = _pick_scheme(scheme)
+    n = K.shape[0]
+    nb = -(-n // block) * block
+    nstrips = nb // block
+
+    def impl(prec, lift):
+        precision_ = _precision(prec)
+        Kp = _pad_spd(K, nb)
+        sp = jnp.ones(nb, K.dtype).at[:n].set(s)
+        bump = None
+        if lift:
+            bump = _LIFT * jnp.finfo(K.dtype).eps \
+                * jnp.max(s * (jnp.abs(K) @ s))
+        if scheme == 'square':
+            Ks = Kp * sp[:, None] * sp[None, :] \
+                + eps * jnp.eye(nb, dtype=K.dtype) \
+                .at[jnp.arange(n, nb), jnp.arange(n, nb)].set(0.0)
+            return _chol_square(Ks, n, nstrips, block, b1, precision_,
+                                bump)
+        return _chol_strips(Kp, n, nstrips, block, b1, precision_,
+                            bump, sp=sp, eps=eps)
+
+    if precision is not None:
+        return impl(precision, True)
+    L1, D1 = impl('high', False)
+    ok = jnp.all(jnp.isfinite(D1))
+    return jax.lax.cond(
+        ok,
+        lambda _: (L1, D1),
+        lambda _: impl('highest', True),
+        None,
+    )
+
+
+@chol_factor_scaled.defjvp
+def _chol_factor_scaled_jvp(block, b1, precision, scheme, primals,
+                            tangents):
+    K, s, eps = primals
+    dK, ds, deps = tangents
+    L, Dinv = chol_factor_scaled(K, s, eps, block, b1, precision,
+                                 scheme)
+    # tangent of the scaled matrix (materialized only under AD)
+    dKs = dK * s[:, None] * s[None, :] \
+        + K * (ds[:, None] * s[None, :] + s[:, None] * ds[None, :]) \
+        + deps * jnp.eye(K.shape[0], dtype=K.dtype)
+    dL, dDinv = _factor_tangent(L, Dinv, dKs, block, precision)
     return (L, Dinv), (dL, dDinv)
 
 

@@ -174,7 +174,6 @@ class Chol(Decomposition):
         # |K| matvec: one read pass, no |Ks| materialization
         bound = jnp.max(s * (jnp.abs(K) @ s))
         eps = epsrel * bound + epsabs
-        Ks = K * s[:, None] * s[None, :] + eps * jnp.eye(n, dtype=K.dtype)
         if block is not None:
             # per-instance panel width (e.g. tuned per problem size);
             # the solvers read it back from _BLOCK
@@ -184,14 +183,18 @@ class Chol(Decomposition):
         if blocked:
             # precision=None → adaptive (fast bf16_3x pass, HIGHEST
             # refactorization with self-healing lifts on non-finite);
-            # pass 'highest' to force single-pass f32-grade matmuls
-            L, Dinv = _blocked.chol_factor(Ks, self._BLOCK, 128,
-                                           precision)
+            # pass 'highest' to force single-pass f32-grade matmuls.
+            # The diagonal scaling + eps are fused into the strip loads
+            # (the scaled matrix is never materialized)
+            L, Dinv = _blocked.chol_factor_scaled(
+                K, s, eps, self._BLOCK, 128, precision)
             # materialize the factor before downstream consumers: without
             # this XLA re-fuses strip computations into each solve's row
             # slices (measured +2.2 ms at n=8192 on v5e)
             L, Dinv = lax.optimization_barrier((L, Dinv))
         else:
+            Ks = K * s[:, None] * s[None, :] \
+                + eps * jnp.eye(n, dtype=K.dtype)
             # same self-healing lift as the blocked path's diagonal
             # blocks, applied globally (one extra small cholesky)
             L = _blocked._chol_lifted(Ks, True)
