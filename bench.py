@@ -131,6 +131,33 @@ def gram_loop(n, dtype):
     return loop, (x,)
 
 
+def gram_tiled_loop(n, dtype, p=8):
+    """Pallas tiled Gram evaluator on a p-column input (the regime
+    where the MXU distance form beats the XLA broadcast)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import numpy
+    from lsqfitgp_tpu.ops import gram
+
+    rng = numpy.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, p)), dtype)
+    profile = lambda r2: jnp.exp(-0.5 * r2)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(x, length):
+        def body(c, _):
+            K = gram(profile, x + c * jnp.asarray(1e-30, dtype))
+            K = lax.optimization_barrier(K)
+            v = K @ jnp.ones(n, dtype)
+            return jnp.asarray(1e-30, dtype) * v[0], None
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None, length=length)
+        return c
+
+    return loop, (x,)
+
+
 def fit_iter_loop(n, dtype):
     """One empbayes-style iteration: value+grad of the whitened NLL."""
     import functools
@@ -200,6 +227,7 @@ def main():
     for name, maker, sizes in (
         ('chol', chol_loop, (4096, 8192)),
         ('gram', gram_loop, (4096, 8192, 16384)),
+        ('gram_tiled_p8', gram_tiled_loop, (8192,)),
         ('fit_iter', fit_iter_loop, (4096, 16384)),
     ):
         for n in sizes:
@@ -213,7 +241,7 @@ def main():
                 msg = f'[bench] {name} n={n}: {t * 1e3:.2f} ms'
                 if name == 'chol':
                     msg += f', {pipeline_flops(n) / t / 1e12:.2f} TFLOP/s'
-                if name == 'gram':
+                if name.startswith('gram'):
                     msg += f', {n * n * 4 / t / 1e9:.0f} GB/s written'
                 _log(msg + f' (setup {time.perf_counter() - t0:.0f}s)')
             except Exception as exc:  # noqa: BLE001 - extras are best-effort

@@ -70,14 +70,23 @@ def _flatten_meancov(mean, cov):
         unpack
 
 
-def raniter(mean, cov=None, *, key=None, rng=None):
-    """Infinite generator of joint samples from N(mean, cov)."""
-    m, C, unpack = _flatten_meancov(mean, cov)
-    dec = Chol(C)
+def _coerce_key(key, rng):
+    """Accept a jax PRNG key, a plain int seed, or None (fresh)."""
     if key is None:
         import numpy
         seed = (rng or numpy.random.default_rng()).integers(2 ** 31)
-        key = jax.random.PRNGKey(int(seed))
+        return jax.random.PRNGKey(int(seed))
+    if isinstance(key, int):
+        return jax.random.PRNGKey(key)
+    return key
+
+
+def raniter(mean, cov=None, *, key=None, rng=None):
+    """Infinite generator of joint samples from N(mean, cov).
+    ``key``: jax PRNG key or plain int seed."""
+    m, C, unpack = _flatten_meancov(mean, cov)
+    dec = Chol(C)
+    key = _coerce_key(key, rng)
     while True:
         key, sub = jax.random.split(key)
         z = jax.random.normal(sub, (m.size,), m.dtype)
@@ -90,10 +99,7 @@ def sample(mean, cov=None, *, key=None, rng=None, shape=()):
         shape = (shape,)
     m, C, unpack = _flatten_meancov(mean, cov)
     dec = Chol(C)
-    if key is None:
-        import numpy
-        seed = (rng or numpy.random.default_rng()).integers(2 ** 31)
-        key = jax.random.PRNGKey(int(seed))
+    key = _coerce_key(key, rng)
     z = jax.random.normal(key, shape + (m.size,), m.dtype)
     if not shape:
         return unpack(m + dec.correlate(z))
