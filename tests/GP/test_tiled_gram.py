@@ -141,3 +141,35 @@ def test_auto_mode_cpu_uses_broadcast(rng):
     ea = gp._elements['a']
     k = gp._crosskernel(ea.proc, ea.proc)
     assert gp._block_points_tiled(k, ea, ea) is None
+
+
+def test_nested_subarray_fields(rng):
+    # nested structured fields and subarray tails all count as
+    # coordinates (matching sum_recurse_fields summing tail axes)
+    x = np.empty(40, dtype=[('u', [('p', float), ('q', float, (2,))]),
+                            ('v', float)])
+    x['u']['p'] = rng.uniform(-2, 2, 40)
+    x['u']['q'] = rng.uniform(-2, 2, (40, 2))
+    x['v'] = rng.uniform(-2, 2, 40)
+    K1 = _prior_cov(ExpQuad(scale=1.3), x, 'tiled')
+    K2 = _prior_cov(ExpQuad(scale=1.3), x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-4, atol32=1e-5))
+
+
+def test_maxdim_kernel_respects_guard(rng):
+    # Wendland's maxdim is a callable of (k, alpha); the tiled path
+    # must resolve it and fall back so the broadcast guard still raises
+    from lsqfitgp_tpu.kernels import Wendland
+    k = Wendland(k=1, alpha=1)  # maxdim small
+    spec = k._fastgram
+    assert spec is not None and spec.maxdim is not None
+    x = np.empty(10, dtype=[(f'f{i}', float) for i in range(8)])
+    for i in range(8):
+        x[f'f{i}'] = rng.uniform(0, 0.2, 10)
+    import lsqfitgp_tpu as lgp
+    gp = GP(k, gram='tiled', checkpos=False).addx(x, 'a')
+    ea = gp._elements['a']
+    kk = gp._crosskernel(ea.proc, ea.proc)
+    # 8 columns > maxdim: the tiled dispatcher must decline
+    assert gp._block_points_tiled(kk, ea, ea) is None
