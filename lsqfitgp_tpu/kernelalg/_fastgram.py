@@ -69,6 +69,10 @@ def make_spec(core, mode, kw):
     if kw.get('dim') is not None:
         # field selection changes which coordinates enter the distance
         return None
+    if kw.get('forcekron'):
+        # forcekron rewraps the core as a per-field PRODUCT; the
+        # isotropic sum-over-fields profile no longer describes it
+        return None
     if kw.get('dynkw'):
         return None
     initkw = {k: v for k, v in kw.items() if k not in _RESERVED}
@@ -114,9 +118,7 @@ def leaf_columns(x):
 
     def visit(v):
         if isinstance(v, _array.StructuredArray):
-            for name in v.fields:
-                visit(v[name])
-            return True
+            return all(visit(v[name]) for name in v.fields)
         v = jnp.asarray(v)
         if not (jnp.issubdtype(v.dtype, jnp.floating)
                 or jnp.issubdtype(v.dtype, jnp.integer)):
@@ -153,10 +155,17 @@ def build_profile(spec):
         if mode == 'squared':
             t = r2
         elif mode == 'abs':
-            t = jnp.sqrt(r2)
+            # clamped away from 0: sqrt'(0) = inf would otherwise turn
+            # into NaN derivative weights on the Gram diagonal (the
+            # broadcast path's per-field sign(0) = 0 likewise yields a
+            # zero diagonal derivative)
+            t = jnp.sqrt(jnp.maximum(r2, jnp.finfo(r2.dtype).tiny))
         else:  # posabs: |.| shifted away from zero (values differ from
-            # the per-field softabs of the broadcast path by O(eps))
-            t = jnp.sqrt(r2) + jnp.finfo(r2.dtype).eps
+            # the per-field softabs of the broadcast path by O(eps));
+            # sqrt(r2 + eps²) keeps the r2-derivative finite at 0,
+            # unlike sqrt(r2) + eps
+            eps = jnp.finfo(r2.dtype).eps
+            t = jnp.sqrt(r2 + eps * eps)
         return core(t, **kwargs)
 
     return profile, spec.dyn_values

@@ -68,8 +68,12 @@ def GammaExp(r2, gamma=1):
         assert 0 < gamma <= 2, gamma
     _jaxutil.skipifabstract(check)
     # keep the γ=2 branch separate: d²/dr2² of r2^(γ/2) at 0 is nan for
-    # floating γ even when γ == 2
-    nondiff = jnp.exp(-(r2 ** (gamma / 2)))
+    # floating γ even when γ == 2.  The tiny offset keeps d/dr2 finite
+    # at r2 = 0 for γ < 2 (r2^{γ/2-1} → ∞ would turn the exact-zero
+    # dr2 of coincident points into inf·0 = NaN hyperparameter
+    # gradients); the value shift is ~tiny^{γ/2}, far below eps.
+    tiny = jnp.finfo(jnp.result_type(r2, 1.0)).tiny
+    nondiff = jnp.exp(-((r2 + tiny) ** (gamma / 2)))
     diff = jnp.exp(-r2)
     return jnp.where(gamma == 2, diff, nondiff)
 
@@ -179,7 +183,9 @@ def Cauchy(r2, alpha=2, beta=2):
         assert 0 < alpha <= 2, alpha
         assert 0 < beta, beta
     _jaxutil.skipifabstract(check)
-    power = jnp.where(alpha == 2, r2, r2 ** (alpha / 2))
+    # same singular-derivative guard as GammaExp for α < 2
+    tiny = jnp.finfo(jnp.result_type(r2, 1.0)).tiny
+    power = jnp.where(alpha == 2, r2, (r2 + tiny) ** (alpha / 2))
     return (1 + power / beta) ** (-beta / alpha)
 
 

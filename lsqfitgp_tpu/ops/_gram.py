@@ -49,11 +49,13 @@ def _round_up(n, m):
     return (n + m - 1) // m * m
 
 
-def gram_xla(profile, x, y, *, params=(), noise=0.0):
+def gram_xla(profile, x, y, *, params=(), noise=None):
     """Plain-XLA reference implementation: broadcast evaluation."""
     r2 = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
     K = profile(r2, *params)
-    if noise:
+    if noise is not None:
+        # static None test, not a Python truth test: noise may be a
+        # traced hyperparameter
         n, m = K.shape
         K = K + noise * jnp.eye(n, m, dtype=K.dtype)
     return K
@@ -90,11 +92,18 @@ def _gram_kernel(x_ref, y_ref, xn_ref, yn_ref, p_ref, o_ref, *,
 
 
 def _pad_points(x, tile, dtype):
+    """Pad to a tile multiple with DISTINCT far-away coordinates:
+    zero padding would create artificial coincident points (r² = 0)
+    among the pad rows and poison derivative weights with NaN/inf for
+    profiles singular at zero distance; here every pad-pad and
+    pad-real distance is >= 1e3, so padded entries (sliced away by the
+    caller) stay finite through the custom-JVP weight matrices."""
     n, p = x.shape
     npad = _round_up(n, tile)
+    far = 1e7 + 1e3 * jnp.arange(npad - n, dtype=dtype)
     xp = jnp.zeros((npad, p), dtype).at[:n].set(x.astype(dtype))
-    xn = jnp.sum(xp * xp, axis=-1, keepdims=True)   # (npad, 1)
-    return xp, xn
+    xp = xp.at[n:, 0].set(far)
+    return xp
 
 
 def _paramvec(params, noise, dtype):
@@ -215,8 +224,15 @@ def _gram_sym_raw(profile, xp, xn, pvec, *, with_noise, tile,
 def _elemgrad_r2(profile, nparams):
     def dprof(r2, *p):
         zeros = tuple(jnp.zeros_like(pk) for pk in p)
-        return jax.jvp(profile, (r2,) + p,
-                       (jnp.ones_like(r2),) + zeros)[1]
+        d = jax.jvp(profile, (r2,) + p,
+                    (jnp.ones_like(r2),) + zeros)[1]
+        # r2 == 0 (post-clamp) means coincident points, where the true
+        # tangent g'(r2)·dr2 vanishes (dr2 ∝ √r2 · tangent).  For
+        # profiles with g' singular at 0 (|r|-type kernels guarded by
+        # a tiny offset) the weight is astronomically large though
+        # finite, and ±w·x terms in the REVERSE-mode transpose absorb
+        # the entire real signal into their rounding — zero it exactly.
+        return jnp.where(r2 <= 0, 0.0, d)
     return dprof
 
 
@@ -301,7 +317,7 @@ def _gram_sym_d_jvp(profile, tile, interpret, with_noise, primals,
 
 # -- public API ---------------------------------------------------------------
 
-def _prep(x, tile):
+def _prep(x):
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
@@ -334,14 +350,14 @@ def gram(profile, x, y=None, *, params=(), noise=None, tile=256,
     """
     if y is None:
         y = x
-    x, dtype = _prep(x, tile)
-    y, _ = _prep(y, tile)
+    x, dtype = _prep(x)
+    y, _ = _prep(y)
     n, p = x.shape
     m, _ = y.shape
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    xp, _ = _pad_points(x, tile, dtype)
-    yp, _ = _pad_points(y, tile, dtype)
+    xp = _pad_points(x, tile, dtype)
+    yp = _pad_points(y, tile, dtype)
     pvec = _paramvec(params, noise, dtype)
     out = _gram_d(profile, tile, interpret, noise is not None,
                   xp, yp, pvec)
@@ -354,11 +370,11 @@ def gram_sym(profile, x, *, params=(), noise=None, tile=256,
     ntiles(ntiles+1)/2 upper-triangle tiles are evaluated
     (scalar-prefetched (i, j) tile list), then mirrored — half the
     profile evaluations of `gram`.  See `gram` for arguments."""
-    x, dtype = _prep(x, tile)
+    x, dtype = _prep(x)
     n, p = x.shape
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    xp, _ = _pad_points(x, tile, dtype)
+    xp = _pad_points(x, tile, dtype)
     pvec = _paramvec(params, noise, dtype)
     out = _gram_sym_d(profile, tile, interpret, noise is not None,
                       xp, pvec)

@@ -14,14 +14,15 @@ column panels of width ``block``:
 
 Row layouts
 -----------
-``layout='cyclic'`` (default): device d owns the row blocks
+``layout='cyclic'`` (used by the fused drivers in `_mesh`): device d
+owns the row blocks
 {k : k ≡ d (mod D)} — the ScaLAPACK block-cyclic 1D layout.  Every
 device keeps owning rows in every trailing suffix, so the per-panel
 update work stays balanced to the end (with contiguous rows, device 0
 goes idle after the first n/D columns are factored).
-``layout='contiguous'``: device d owns rows [d·n/D, (d+1)·n/D) — the
-plain jax.sharding convention, matching a P(axis, None)-sharded global
-array directly.
+``layout='contiguous'`` (the default of the standalone functions):
+device d owns rows [d·n/D, (d+1)·n/D) — the plain jax.sharding
+convention, matching a P(axis, None)-sharded global array directly.
 
 In the cyclic layout the "global" array entering/leaving ``shard_map``
 is the *layout-ordered* matrix: global row j of it is matrix row
@@ -60,6 +61,11 @@ def cyclic_permutation(n, ndev, block):
     """Permutation p with p[j] = user-order row of layout-order row j:
     layout row j lives on device (j // B) mod D... inverse mapping such
     that ``A_layout = A[p][:, p]``."""
+    if n % (ndev * block):
+        raise ValueError(
+            f'cyclic layout needs n={n} divisible by devices*block='
+            f'{ndev}*{block}'
+        )
     s = numpy.arange(n)
     dev = (s // block) % ndev          # owning device of user block
     lblk = (s // block) // ndev        # local block index on that device
@@ -235,17 +241,22 @@ def _solve_lower_local(L_local, b, *, axis, block, n, ndev, layout):
 
 
 def _solve_lower_t_local(L_local, b, *, axis, block, n, ndev, layout):
-    """Backward substitution L' x = b, distributed: the column block of
-    L holding L[j>k, k] is spread over the devices' rows, so each step
-    psums the per-device partials of Σ_{j>k} L[j,k] x_j, then the owner
-    solves Lkk' xk and a second masked psum broadcasts it."""
+    """Backward substitution L' X = B, distributed (B: (n,) or (n, m)):
+    the column block of L holding L[j>k, k] is spread over the devices'
+    rows, so each step psums the per-device partials of
+    Σ_{j>k} L[j,k]' x_j, then the owner solves Lkk' xk and a second
+    masked psum broadcasts the solved block."""
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    m = b.shape[1]
     rows_per = n // ndev
     me = lax.axis_index(axis)
     g_rows = _global_rows(me, rows_per, block, ndev, layout)
     nb = n // block
 
     def step(i, carry):
-        x, xl = carry                    # x: (n,); xl: x at local rows
+        x, xl = carry                # x: (n, m); xl: x at local rows
         k = nb - 1 - i
         c0 = (jnp.int32(k) * block).astype(jnp.int32)
         zero = jnp.int32(0)
@@ -253,27 +264,28 @@ def _solve_lower_t_local(L_local, b, *, axis, block, n, ndev, layout):
         is_owner = me == owner
         # partial_k = Σ_{local j > k-block} L_local[j, k-block]' x_j
         cols = lax.dynamic_slice(L_local, (zero, c0), (rows_per, block))
-        solved = g_rows >= c0 + block
+        solved = (g_rows >= c0 + block)[:, None]
         partial = cols.T @ jnp.where(solved, xl, 0.0)
         partial = lax.psum(partial, axis)
-        rhs = lax.dynamic_slice(b, (c0,), (block,)) - partial
+        rhs = lax.dynamic_slice(b, (c0, zero), (block, m)) - partial
         Lkk = lax.dynamic_slice(L_local, (slot0, c0), (block, block))
         Lkk = jnp.where(is_owner, Lkk, jnp.eye(block, dtype=Lkk.dtype))
         xk = lax.linalg.triangular_solve(
-            Lkk, rhs[:, None], left_side=True, lower=True,
-            transpose_a=True,
-        )[:, 0]
+            Lkk, rhs, left_side=True, lower=True, transpose_a=True,
+        )
         xk = _masked_psum(xk, is_owner, axis)
-        x = lax.dynamic_update_slice(x, xk, (c0,))
-        xl = jnp.where((g_rows >= c0) & (g_rows < c0 + block),
-                       jnp.take(x, g_rows), xl)
+        x = lax.dynamic_update_slice(x, xk, (c0, zero))
+        xl = jnp.where(
+            ((g_rows >= c0) & (g_rows < c0 + block))[:, None],
+            jnp.take(x, g_rows, axis=0), xl)
         return x, xl
 
-    x0 = jnp.zeros(n, b.dtype)
-    xl0 = jnp.zeros(rows_per, b.dtype)
+    x0 = jnp.zeros((n, m), b.dtype)
+    xl0 = jnp.zeros((rows_per, m), b.dtype)
     x0, xl0 = _pvary((x0, xl0), axis)
     x, _ = lax.fori_loop(0, nb, step, (x0, xl0))
-    return lax.pmean(x, axis)
+    x = lax.pmean(x, axis)
+    return x[:, 0] if vec else x
 
 
 def _pvary(tree, axis):

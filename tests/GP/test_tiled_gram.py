@@ -173,3 +173,53 @@ def test_maxdim_kernel_respects_guard(rng):
     kk = gp._crosskernel(ea.proc, ea.proc)
     # 8 columns > maxdim: the tiled dispatcher must decline
     assert gp._block_points_tiled(kk, ea, ea) is None
+
+
+def test_posabs_abs_modes_grad_finite(rng):
+    # profiles singular at r=0 ('abs'/'posabs' input modes) must give
+    # finite tiled-path gradients — including on the Gram diagonal and
+    # with tile padding (review findings: sqrt'(0) NaN weights)
+    from lsqfitgp_tpu.kernels import Expon, GammaExp
+    x = rng.uniform(-3, 3, 30)  # 30 % 128 != 0: padding in play
+    y = rng.standard_normal(30)
+
+    for mk in (lambda s: Expon(scale=s),
+               lambda s: GammaExp(gamma=1.3, scale=s)):
+        def obj(log_s, mk=mk):
+            gp = GP(mk(jnp.exp(log_s)), gram='tiled', checkpos=False)
+            gp = gp.addx(x, 'a')
+            K = gp._assemble(['a'], ['a']) + 0.1 * jnp.eye(30)
+            from lsqfitgp_tpu.linalg import Chol
+            return Chol(K).minus_log_normal_density(jnp.asarray(y))
+
+        g = float(jax.grad(obj)(0.2))
+        assert np.isfinite(g)
+        j = float(jax.jacfwd(obj)(0.2))
+        assert np.isfinite(j)
+        np.testing.assert_allclose(g, j, **tol(1e-6, rtol32=1e-3))
+
+
+def test_forcekron_not_fast_pathed(rng):
+    # forcekron turns the isotropic profile into a per-field product;
+    # the spec must NOT be attached (review finding)
+    from lsqfitgp_tpu.kernels import Cauchy
+    k = Cauchy(alpha=1.0, beta=1.0, forcekron=True)
+    assert getattr(k, '_fastgram', 'missing') is None
+    x = np.empty(20, dtype=[('u', float), ('v', float)])
+    x['u'] = rng.uniform(-2, 2, 20)
+    x['v'] = rng.uniform(-2, 2, 20)
+    K1 = _prior_cov(k, x, 'tiled')
+    K2 = _prior_cov(k, x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-5, atol32=1e-6))
+
+
+def test_nonnumeric_leaf_disables_fast_path(rng):
+    # a bool field must disable the fast path entirely, not silently
+    # drop its column (review finding)
+    from lsqfitgp_tpu.kernelalg import _fastgram as fg
+    import lsqfitgp_tpu as lgp
+    x = np.empty(10, dtype=[('t', float), ('flag', '?')])
+    x['t'] = rng.uniform(-1, 1, 10)
+    x['flag'] = rng.uniform(size=10) > 0.5
+    assert fg.leaf_columns(lgp.asarray(x)) is None

@@ -308,3 +308,26 @@ def test_empbayes_fit_distributed(mesh1d, rng):
         empbayes_fit({'a': (0.0, 1.0)})
     with pytest.raises(TypeError):
         fit.gp()
+
+
+def test_solve_lower_t_matrix_rhs(mesh1d, rng):
+    from lsqfitgp_tpu.parallel import block_solve_lower_t
+    n, B, m = 128, 16, 4
+    A = spd(rng, n)
+    Aj = jax.device_put(
+        jnp.asarray(A), NamedSharding(mesh1d, P('r', None)))
+    L = block_cholesky(Aj, mesh1d, block=B)
+    Bm = jnp.asarray(rng.standard_normal((n, m)))
+    X = np.asarray(block_solve_lower_t(L, Bm, mesh1d, block=B))
+    want = np.linalg.solve(np.linalg.cholesky(np.asarray(A, 'f8')).T,
+                           np.asarray(Bm, 'f8'))
+    np.testing.assert_allclose(X, want, **tol(0, 1e-9, rtol32=0,
+                                              atol32=2e-3))
+
+
+def test_cyclic_permutation_validates():
+    from lsqfitgp_tpu.parallel import cyclic_permutation
+    with pytest.raises(ValueError):
+        cyclic_permutation(512, 4, 256)  # block > n/ndev
+    p = cyclic_permutation(128, 4, 16)
+    assert sorted(p) == list(range(128))
