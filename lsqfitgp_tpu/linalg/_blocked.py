@@ -132,6 +132,174 @@ def _pad_spd(K, nb):
     return jnp.block([[K, Z], [Z.T, jnp.eye(p, dtype=K.dtype)]])
 
 
+def _make_read(K, s, eps, n):
+    """Block-read closure over the UNMATERIALIZED scaled, regularized,
+    identity-padded matrix: entry (i, j) is
+
+        s_i K_ij s_j  +  eps·[i == j < n]  +  [i == j >= n]
+
+    (``s=None`` skips scaling, ``eps=None`` skips regularization).  The
+    recursive factorization first-touches every entry of K exactly once,
+    so routing those touches through this closure fuses scaling + eps +
+    padding into the reads — the scaled matrix never hits HBM."""
+
+    def read(r0, c0, h, w):
+        rr = max(0, min(h, n - r0))
+        cc = max(0, min(w, n - c0))
+        A = K[r0:r0 + rr, c0:c0 + cc]
+        if s is not None:
+            A = A * s[r0:r0 + rr, None] * s[None, c0:c0 + cc]
+        if rr < h or cc < w:
+            A = jnp.pad(A, ((0, h - rr), (0, w - cc)))
+        if r0 == c0:
+            gi = r0 + jnp.arange(h)
+            e = jnp.asarray(0.0 if eps is None else eps, K.dtype)
+            d = jnp.where(gi < n, e, jnp.asarray(1.0, K.dtype))
+            A = A + jnp.diag(d)
+        return A
+
+    return read
+
+
+def _chol_rec_tree(read, o, kb, block, b1, precision, bump):
+    """Recursive (cache-oblivious) Cholesky over a kb x kb block grid
+    starting at global offset ``o`` (in scalars).
+
+    Splits the matrix 2x2 at the half-way block boundary: factor the
+    leading half, solve the panel against it (one recursion of
+    matmul-based substitutions), form the Schur complement with a single
+    large matmul, recurse on it.  Unlike the unrolled strip scheme the
+    program size is O(kb) leaves + O(kb log kb) matmuls — so n=32768
+    compiles in seconds where the strip scheme's O(kb²) graph exceeds
+    the compiler — while the FLOP count is exactly the optimal n³/3:
+    each trailing update is computed once, at the unique recursion level
+    where its rows and columns first split apart.  All heavy ops are
+    half-size MXU matmuls.
+
+    The factor is returned as a TREE, not a dense matrix: a leaf is the
+    (block, block) diagonal factor, a node is ``(P, t11, t22)`` with
+    ``P`` the (w, h) sub-diagonal panel.  The tree holds exactly the
+    lower trapezoid (n²/2 floats) and skips the per-level ``jnp.block``
+    copies (n² log nb extra HBM traffic, measured ~15% of the pipeline
+    at n=16384); :func:`_tree_assemble` densifies it in one concat pass.
+
+    Returns (tree, [leaf Dinv list in diagonal order]).
+    """
+    if kb == 1:
+        L, Linv = _factor_diag(read(o, o, block, block), b1, precision,
+                               bump)
+        return L, [Linv]
+    hb = (kb + 1) // 2
+    h = hb * block
+    w = (kb - hb) * block
+    t11, d1 = _chol_rec_tree(read, o, hb, block, b1, precision, bump)
+    A21 = read(o + h, o, w, h)
+    P = _tree_solve_right_t(A21, t11, d1, block, precision)
+    S = read(o + h, o + h, w, w) - jnp.dot(P, P.T, precision=precision)
+    base = o + h
+    readS = lambda r, c, hh, ww: \
+        S[r - base:r - base + hh, c - base:c - base + ww]
+    t22, d2 = _chol_rec_tree(readS, base, kb - hb, block, b1,
+                             precision, bump)
+    return (P, t11, t22), d1 + d2
+
+
+def _tree_solve_right_t(B, tree, dinvs, block, precision):
+    """X = B L^{-T} with L the factor tree (k x k) and B (m, k), by
+    recursive halving; leaf = one matmul with the precomputed leaf-block
+    inverse."""
+    if not isinstance(tree, tuple):
+        return jnp.dot(B, dinvs[0].T, precision=precision)
+    P, t11, t22 = tree
+    h = P.shape[1]
+    hb = h // block
+    X1 = _tree_solve_right_t(B[:, :h], t11, dinvs[:hb], block,
+                             precision)
+    B2 = B[:, h:] - jnp.dot(X1, P.T, precision=precision)
+    X2 = _tree_solve_right_t(B2, t22, dinvs[hb:], block, precision)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _tree_assemble(tree, n, block):
+    """Dense lower factor (cropped to (n, n)) from a factor tree:
+    collect each block column's pieces top-to-bottom, one vertical +
+    one horizontal concatenation — a single n²-write pass."""
+    if not isinstance(tree, tuple):
+        return tree[:n, :n]
+    P, _, _ = tree
+    nb = (P.shape[0] + P.shape[1]) // block
+    dtype = P.dtype
+    cols = [[] for _ in range(nb)]
+
+    def collect(tree, j0):
+        if not isinstance(tree, tuple):
+            cols[j0].append(tree)
+            return
+        P, t11, t22 = tree
+        hb = P.shape[1] // block
+        collect(t11, j0)
+        for j in range(hb):
+            cols[j0 + j].append(P[:, j * block:(j + 1) * block])
+        collect(t22, j0 + hb)
+
+    collect(tree, 0)
+    strips = []
+    for j, ps in enumerate(cols):
+        top = jnp.zeros((j * block, block), dtype)
+        strips.append(jnp.concatenate([top] + ps, axis=0))
+    L = jnp.concatenate(strips, axis=1)
+    return L[:n, :n]
+
+
+def _chol_tree_impl(K, s, eps, block, b1, prec, lift):
+    """(tree, [Dinv list]) of diag(s) K diag(s) + eps I (``s``/``eps``
+    None to skip), scaling/eps/padding fused into the first-touch reads."""
+    precision_ = _precision(prec)
+    n = K.shape[0]
+    nb = -(-n // block)
+    bump = None
+    if lift:
+        if s is None:
+            bump = _LIFT * jnp.finfo(K.dtype).eps \
+                * jnp.max(jnp.sum(jnp.abs(K), axis=1))
+        else:
+            bump = _LIFT * jnp.finfo(K.dtype).eps \
+                * jnp.max(s * (jnp.abs(K) @ s))
+    read = _make_read(K, s, eps, n)
+    return _chol_rec_tree(read, 0, nb, block, b1, precision_, bump)
+
+
+def _chol_factor_rec(K, s, eps, block, b1, precision, heal=True):
+    """Recursive-scheme driver shared by `chol_factor` (s=eps=None) and
+    `chol_factor_scaled`: adaptive-precision cond over the (compact)
+    factor TREE, densification outside the cond — so the cond's live set
+    is K + two lower trapezoids, not two dense factors.
+
+    ``heal=False`` disables the self-healing diagonal lift in the
+    HIGHEST fallback, so a genuinely singular matrix comes back
+    non-finite instead of silently lift-bumped — the caller
+    (``Chol``'s 'auto'-eps ladder) then escalates to a larger eps,
+    which distorts ~30x less than the per-block lift bumps."""
+    n = K.shape[0]
+    if precision is not None:
+        tree, dinvs = _chol_tree_impl(K, s, eps, block, b1, precision,
+                                      heal)
+        Dinv = jnp.stack(dinvs)
+    else:
+        t1, d1 = _chol_tree_impl(K, s, eps, block, b1, 'high', False)
+        D1 = jnp.stack(d1)
+        ok = jnp.all(jnp.isfinite(D1))
+
+        def slow(_):
+            t2, d2 = _chol_tree_impl(K, s, eps, block, b1, 'highest',
+                                     heal)
+            return t2, jnp.stack(d2)
+
+        tree, Dinv = lax.cond(ok, lambda _: (t1, D1), slow, None)
+    L = _tree_assemble(tree, n, block)
+    return L, Dinv
+
+
 def _cholesky_impl(K, block, b1, precision, lift=True, scheme='square'):
     precision = _precision(precision)
     n = K.shape[0]
@@ -250,6 +418,52 @@ def diag_block_inverses(L, block):
     )(D)
 
 
+def _solve_lower_rec(L, B, dinvs, block, precision):
+    """X = L^{-1} B by recursive halving (forward substitution as a
+    log-depth tree of large matmuls).  ``L`` (k, k) lower triangular,
+    ``B`` (k, m), ``dinvs`` list of leaf diagonal-block inverses."""
+    k = L.shape[0]
+    if k == block:
+        return jnp.dot(dinvs[0], B, precision=precision)
+    hb = ((k // block) + 1) // 2
+    h = hb * block
+    X1 = _solve_lower_rec(L[:h, :h], B[:h], dinvs[:hb], block,
+                          precision)
+    B2 = B[h:] - jnp.dot(L[h:, :h], X1, precision=precision)
+    X2 = _solve_lower_rec(L[h:, h:], B2, dinvs[hb:], block, precision)
+    return jnp.concatenate([X1, X2], axis=0)
+
+
+def _solve_lower_t_rec(L, B, dinvs, block, precision):
+    """X = L^{-T} B by recursive halving (backward substitution)."""
+    k = L.shape[0]
+    if k == block:
+        return jnp.dot(dinvs[0].T, B, precision=precision)
+    hb = ((k // block) + 1) // 2
+    h = hb * block
+    X2 = _solve_lower_t_rec(L[h:, h:], B[h:], dinvs[hb:], block,
+                            precision)
+    B1 = B[:h] - jnp.dot(L[h:, :h].T, X2, precision=precision)
+    X1 = _solve_lower_t_rec(L[:h, :h], B1, dinvs[:hb], block,
+                            precision)
+    return jnp.concatenate([X1, X2], axis=0)
+
+
+def _solve_prep(L, B, block, Dinv):
+    n = L.shape[0]
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    if Dinv is None:
+        Dinv = diag_block_inverses(L, block)
+    nb = Dinv.shape[0] * block
+    if nb != n:
+        B = jnp.concatenate(
+            [B, jnp.zeros((nb - n, B.shape[1]), B.dtype)])
+        L = _pad_spd(L, nb)
+    return L, B, list(Dinv), vec
+
+
 def solve_lower(L, B, *, block=512, Dinv=None, precision=None):
     """X = L^-1 B by blocked forward substitution (matmul-based).
 
@@ -257,31 +471,13 @@ def solve_lower(L, B, *, block=512, Dinv=None, precision=None):
     static-shape matmuls (at ``precision``, default HIGH on TPU), using
     the diagonal-block inverses, so this runs at MXU rate instead of
     XLA's sequential triangular-solve loop.  Linear in ``B`` and built
-    from transposable ops.
+    from transposable ops; the recursive-halving structure keeps the
+    program (and its AD transpose) at O(nb log nb) ops.
     """
     precision = _precision(precision)
     n = L.shape[0]
-    vec = B.ndim == 1
-    if vec:
-        B = B[:, None]
-    if Dinv is None:
-        Dinv = diag_block_inverses(L, block)
-    nstrips = Dinv.shape[0]
-    nb = nstrips * block
-    if nb != n:
-        B = jnp.concatenate(
-            [B, jnp.zeros((nb - n, B.shape[1]), B.dtype)])
-        L = _pad_spd(L, nb)
-    xs = []
-    for k in range(nstrips):
-        s = k * block
-        rhs = B[s:s + block]
-        if k:
-            xtop = jnp.concatenate(xs, axis=0)
-            rhs = rhs - jnp.dot(L[s:s + block, :s], xtop,
-                                precision=precision)
-        xs.append(jnp.dot(Dinv[k], rhs, precision=precision))
-    X = jnp.concatenate(xs, axis=0)[:n]
+    Lp, Bp, dinvs, vec = _solve_prep(L, B, block, Dinv)
+    X = _solve_lower_rec(Lp, Bp, dinvs, block, precision)[:n]
     return X[:, 0] if vec else X
 
 
@@ -289,38 +485,19 @@ def solve_lower_t(L, B, *, block=512, Dinv=None, precision=None):
     """X = L^-T B by blocked backward substitution (matmul-based)."""
     precision = _precision(precision)
     n = L.shape[0]
-    vec = B.ndim == 1
-    if vec:
-        B = B[:, None]
-    if Dinv is None:
-        Dinv = diag_block_inverses(L, block)
-    nstrips = Dinv.shape[0]
-    nb = nstrips * block
-    if nb != n:
-        B = jnp.concatenate(
-            [B, jnp.zeros((nb - n, B.shape[1]), B.dtype)])
-        L = _pad_spd(L, nb)
-    xs = [None] * nstrips
-    for k in reversed(range(nstrips)):
-        s = k * block
-        e = s + block
-        rhs = B[s:e]
-        if k + 1 < nstrips:
-            xbot = jnp.concatenate(xs[k + 1:], axis=0)
-            # rows below, this block column: L[e:, s:e]^T @ xbot
-            rhs = rhs - jnp.dot(L[e:, s:e].T, xbot, precision=precision)
-        xs[k] = jnp.dot(Dinv[k].T, rhs, precision=precision)
-    X = jnp.concatenate(xs, axis=0)[:n]
+    Lp, Bp, dinvs, vec = _solve_prep(L, B, block, Dinv)
+    X = _solve_lower_t_rec(Lp, Bp, dinvs, block, precision)[:n]
     return X[:, 0] if vec else X
 
 
 def _pick_scheme(scheme):
     if scheme == 'auto':
-        # measured on v5e (chol+solve, fp32): strips 19.2/28.6 TFLOP/s
-        # at n=8192/16384 vs square 16.8/24.3 — the pipeline is already
-        # matmul-rate-bound, so halving trailing FLOPs beats fewer,
-        # larger dispatches.  'square' kept for experimentation.
-        return 'strips'
+        # 'rec' (recursive halving) has the same optimal n³/3 FLOPs as
+        # 'strips' but an O(nb log nb) program instead of O(nb²): it
+        # compiles in seconds at n=32768 where 'strips' exceeds the
+        # compiler, with bigger matmuls and ~3x less update-write HBM
+        # traffic.  'strips'/'square' kept for experimentation.
+        return 'rec'
     return scheme
 
 
@@ -346,6 +523,8 @@ def chol_factor(K, block=512, b1=128, precision=None, scheme='auto'):
     (single pass at that precision, lifting enabled).
     """
     scheme = _pick_scheme(scheme)
+    if scheme == 'rec':
+        return _chol_factor_rec(K, None, None, block, b1, precision)
     if precision is not None:
         return _cholesky_impl(K, block, b1, precision, lift=True,
                               scheme=scheme)
@@ -406,9 +585,9 @@ def _chol_factor_jvp(block, b1, precision, scheme, primals, tangents):
     return (L, Dinv), (dL, dDinv)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7))
 def chol_factor_scaled(K, s, eps, block=512, b1=128, precision=None,
-                       scheme='auto'):
+                       scheme='auto', heal=True):
     """(L, Dinv) of ``diag(s) K diag(s) + eps I`` WITHOUT materializing
     the scaled matrix: the scaling and the diagonal regularization are
     fused into each strip's first read (saving a full n² HBM write+read
@@ -416,6 +595,8 @@ def chol_factor_scaled(K, s, eps, block=512, b1=128, precision=None,
     as `chol_factor` otherwise; the fallback/lift pass recomputes the
     scaled Gershgorin bound it needs with one |K| matvec."""
     scheme = _pick_scheme(scheme)
+    if scheme == 'rec':
+        return _chol_factor_rec(K, s, eps, block, b1, precision, heal)
     n = K.shape[0]
     nb = -(-n // block) * block
     nstrips = nb // block
@@ -438,24 +619,24 @@ def chol_factor_scaled(K, s, eps, block=512, b1=128, precision=None,
                             bump, sp=sp, eps=eps)
 
     if precision is not None:
-        return impl(precision, True)
+        return impl(precision, heal)
     L1, D1 = impl('high', False)
     ok = jnp.all(jnp.isfinite(D1))
     return jax.lax.cond(
         ok,
         lambda _: (L1, D1),
-        lambda _: impl('highest', True),
+        lambda _: impl('highest', heal),
         None,
     )
 
 
 @chol_factor_scaled.defjvp
-def _chol_factor_scaled_jvp(block, b1, precision, scheme, primals,
-                            tangents):
+def _chol_factor_scaled_jvp(block, b1, precision, scheme, heal,
+                            primals, tangents):
     K, s, eps = primals
     dK, ds, deps = tangents
     L, Dinv = chol_factor_scaled(K, s, eps, block, b1, precision,
-                                 scheme)
+                                 scheme, heal)
     # tangent of the scaled matrix (materialized only under AD)
     dKs = dK * s[:, None] * s[None, :] \
         + K * (ds[:, None] * s[None, :] + s[:, None] * ds[None, :]) \
