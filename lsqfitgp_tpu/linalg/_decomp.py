@@ -31,6 +31,7 @@ from jax.scipy.linalg import solve_triangular
 
 from . import _blocked
 from ._pytree import AutoPyTree
+from .._jaxutil import skipifabstract
 
 __all__ = ['Decomposition', 'Chol', 'solve_batched']
 
@@ -98,29 +99,43 @@ class Decomposition(AutoPyTree, abc.ABC):
 def _parse_eps(epsrel, epsabs, n, dtype):
     """'auto' regularization scale.
 
-    In float64, ``n * eps`` (reference ``_decomp.py:245`` parity — at
-    f64 this is always negligible vs the data).  In float32 — the dtype
-    the framework actually ships on TPU — ``n * eps32`` over-regularizes
-    catastrophically (at n=1500 it exceeds a typical 1% noise level
-    ~9x and shifts the marginal likelihood by O(1000) nats, measured);
-    the blocked HIGH-precision factorization is empirically stable on
-    fully singular smooth Grams down to ``sqrt(n) * eps32``, so 'auto'
-    uses ``8 * sqrt(n) * eps32`` — still a safety factor ~8 above the
-    observed stability edge, but 10-40x less destructive than n-scaling.
+    In float64, ``n * eps`` relative to the Gershgorin eigenvalue bound
+    (reference ``_decomp.py:245`` parity — at f64 this is always
+    negligible vs the data).
+
+    In float32 — the dtype the framework actually ships on TPU — ANY
+    bound-relative default over-regularizes catastrophically: on a
+    smooth kernel the Gershgorin bound grows ~linearly with n, so even
+    ``4 * eps32 * bound`` reaches ~2e-4 at n=1536 and exceeds a typical
+    small noise level, which biases the marginal likelihood and was
+    measured to flip hyperparameter gradient signs.  Models whose
+    condition number is within f32 reach (cond « 1/eps32) need almost
+    no regularization at all — a *diagonal-anchored* ``4 * eps32``
+    (~5e-7 on the unit-scaled matrix) leaves the NLL gradient within
+    0.1% of the f64 truth at a 1e-3 noise level (measured, n=1536
+    ExpQuad).  Genuinely singular matrices (prior-only Grams) are
+    instead handled by ESCALATION: if the small-eps factorization
+    fails, :class:`Chol` refactors once with the classic bound-scaled
+    eps (see ``Chol.__init__``), so sampling from noiseless priors
+    still works without distorting well-posed fits.
+
+    Returns ``(epsrel, epsabs, escalate)`` — floats (0 where the f32
+    'auto' diagonal anchor, applied by the caller, replaces them) and
+    whether the caller should enable the failure-escalation ladder.
     """
     mach = _float_eps(dtype)
-    if mach > 1e-10:  # float32 or below
-        # n-free: the factorization self-heals locally (see
-        # _blocked._chol_lifted), so the global eps only needs to absorb
-        # entrywise assembly roundoff, not worst-case n-growth
-        auto = 4 * mach
-    else:
-        auto = n * mach
+    f32 = mach > 1e-10
+    escalate = False
     if epsrel == 'auto':
-        epsrel = auto
+        if f32:
+            epsrel = 0.0
+            escalate = True
+        else:
+            epsrel = n * mach
     if epsabs == 'auto':
-        epsabs = auto
-    return float(epsrel), float(epsabs)
+        # absolute, diagonal-anchored also in f64 (harmlessly tiny)
+        epsabs = 4 * mach
+    return float(epsrel), float(epsabs), escalate
 
 
 def diag_scale_pow2(K):
@@ -151,9 +166,27 @@ class Chol(Decomposition):
 
     K is scaled to near-unit diagonal with exact power-of-2 factors, a
     regularization ``eps = epsrel * maxeig_bound + epsabs`` is added to
-    the scaled diagonal, and the Cholesky factor is taken.  ``epsrel
-    ='auto'`` means ``n * finfo(dtype).eps`` (reference ``_decomp.py:245``
-    ``_parseeps`` semantics).
+    the scaled diagonal, and the Cholesky factor is taken.
+
+    ``epsrel='auto'`` means ``n * finfo(dtype).eps`` in float64
+    (reference ``_decomp.py:245`` ``_parseeps`` semantics).  In float32
+    'auto' is a two-rung ladder instead: a tiny diagonal-anchored eps
+    (``4 * eps32 *`` max scaled diagonal, ~5e-7 — measured to leave NLL
+    gradients within 0.1% of the f64 truth on models f32 can represent
+    at all), escalating to the classic bound-scaled eps in a single
+    ``lax.cond`` refactorization only if the small-eps factorization
+    produces non-finite values (genuinely singular Grams, e.g.
+    noiseless priors being sampled).  See ``_parse_eps`` for the
+    measurements behind this.
+
+    ``self.accuracy_ratio`` estimates the factorization's backward
+    error from a matvec probe: ``max|K̃v - L(L'v)|`` over a fixed ±1
+    vector ``v``, in units of ``eps * bound`` roundoff.  O(1-100) is
+    healthy; very large values (≫1e3) mean the matrix's conditioning
+    exceeds the dtype (cond ≳ 1/eps) and results are unreliable — in
+    eager mode a warning is raised.  f32 feasibility boundary and
+    escape hatches (bigger noise, explicit ``epsabs``, x64) are
+    documented in docs/perf.md.
 
     ``blocked='auto'`` (default) switches to the MXU blocked
     factorization + matmul-based blocked triangular solves
@@ -168,18 +201,31 @@ class Chol(Decomposition):
                  precision=None, block=None):
         K = jnp.asarray(K)
         n = K.shape[0]
-        epsrel, epsabs = _parse_eps(epsrel, epsabs, n, K.dtype)
+        epsrel, epsabs, escalate = _parse_eps(epsrel, epsabs, n, K.dtype)
+        mach = _float_eps(K.dtype)
         s = diag_scale_pow2(K)
         # Gershgorin bound of the scaled matrix computed as a scaled
         # |K| matvec: one read pass, no |Ks| materialization
         bound = jnp.max(s * (jnp.abs(K) @ s))
         eps = epsrel * bound + epsabs
+        if escalate:
+            # f32 'auto': tiny diagonal-anchored primary eps; the
+            # bound-scaled fallback rung is sized so the REGULARIZED
+            # condition number bound/eps2 = 1/(32*mach) ≈ 2.6e5 is
+            # safely within f32 factorization reach — 4*mach*bound
+            # leaves cond ≈ 2e6 at the f32 edge, and the per-block
+            # lift then bumps diagonals by ~1e3*mach*bound (a 7%
+            # distortion, measured on a singular n=1200 smooth Gram)
+            dmax = jnp.max(jnp.diag(K) * s * s)
+            eps = eps + 4 * mach * dmax
+            eps2 = 32 * mach * bound + epsabs
         if block is not None:
             # per-instance panel width (e.g. tuned per problem size);
             # the solvers read it back from _BLOCK
             self._BLOCK = int(block)
         if blocked == 'auto':
             blocked = n >= 1024
+        escalated = jnp.asarray(False)
         if blocked:
             # precision=None → adaptive (fast bf16_3x pass, HIGHEST
             # refactorization with self-healing lifts on non-finite);
@@ -187,22 +233,61 @@ class Chol(Decomposition):
             # The diagonal scaling + eps are fused into the strip loads
             # (the scaled matrix is never materialized)
             L, Dinv = _blocked.chol_factor_scaled(
-                K, s, eps, self._BLOCK, 128, precision)
+                K, s, eps, self._BLOCK, 128, precision,
+                'auto', not escalate)
+            if escalate:
+                # heal=False above: a singular matrix comes back
+                # non-finite from the tiny-eps rung (instead of being
+                # silently lift-bumped by ~7%) and is refactored here
+                # with the bound-scaled eps2 (~0.2% distortion)
+                ok = jnp.all(jnp.isfinite(Dinv))
+                L, Dinv = lax.cond(
+                    ok,
+                    lambda _: (L, Dinv),
+                    lambda _: _blocked.chol_factor_scaled(
+                        K, s, eps2, self._BLOCK, 128, 'highest'),
+                    None,
+                )
+                eps = jnp.where(ok, eps, eps2)
+                escalated = ~ok
             # materialize the factor before downstream consumers: without
             # this XLA re-fuses strip computations into each solve's row
             # slices (measured +2.2 ms at n=8192 on v5e)
             L, Dinv = lax.optimization_barrier((L, Dinv))
         else:
-            Ks = K * s[:, None] * s[None, :] \
-                + eps * jnp.eye(n, dtype=K.dtype)
-            # same self-healing lift as the blocked path's diagonal
-            # blocks, applied globally (one extra small cholesky)
-            L = _blocked._chol_lifted(Ks, True)
+            def small(e, heal=True):
+                Ks = K * s[:, None] * s[None, :] \
+                    + e * jnp.eye(n, dtype=K.dtype)
+                # same self-healing lift as the blocked path's diagonal
+                # blocks, applied globally (one extra small cholesky)
+                return _blocked._chol_lifted(Ks, True if heal else None)
+            L = small(eps, heal=not escalate)
+            if escalate:
+                ok = jnp.all(jnp.isfinite(L))
+                L = lax.cond(ok, lambda _: L, lambda _: small(eps2),
+                             None)
+                eps = jnp.where(ok, eps, eps2)
+                escalated = ~ok
             Dinv = None
         self._L = L
         self._Dinv = Dinv
         self._s = s
         self._eps = eps
+        # matvec-probe estimate of the factorization backward error, in
+        # units of one rounding of the dominant eigenvalue (see class
+        # docstring); O(sqrt(n)) is healthy, ≫1e3·sqrt(n) means the
+        # conditioning exceeds the dtype
+        v = jnp.where(jnp.arange(n) % 2 == 0, 1, -1).astype(K.dtype)
+        hi = lax.Precision.HIGHEST
+        Kv = s * jnp.dot(K, s * v, precision=hi) + eps * v
+        LLtv = jnp.dot(L, jnp.dot(L.T, v, precision=hi), precision=hi)
+        self._resid_ratio = jnp.max(jnp.abs(Kv - LLtv)) \
+            / jnp.maximum(mach * bound, jnp.finfo(K.dtype).tiny)
+        # pivot-based condition estimate: bound ≈ λmax (Gershgorin),
+        # min pivot² ≈ λmin of the regularized scaled matrix
+        self._cond_est = bound / jnp.maximum(
+            jnp.min(jnp.diag(L)) ** 2, jnp.finfo(K.dtype).tiny)
+        self._escalated = escalated
 
     @property
     def n(self):
@@ -216,6 +301,69 @@ class Chol(Decomposition):
     @property
     def eps(self):
         return self._eps
+
+    @property
+    def accuracy_ratio(self):
+        """Matvec-probe backward-error estimate, in units of one
+        rounding (``eps * maxeig_bound``).  O(1-10) is healthy; ~1e3
+        means the self-healing diagonal lift engaged (the matrix was
+        numerically singular at the working precision)."""
+        return self._resid_ratio
+
+    @property
+    def cond_estimate(self):
+        """Cheap condition-number estimate of the regularized scaled
+        matrix: Gershgorin λmax bound over the smallest pivot²."""
+        return self._cond_est
+
+    def _warn_if_degraded(self, what):
+        """Eager-mode numerical-reliability warning, evaluated lazily
+        at inverse-using operations (solves, densities) — NOT at
+        ``correlate``, so sampling from a numerically singular prior
+        (where heavy regularization is expected and harmless) stays
+        quiet.  Inside ``jit`` this compiles to nothing.
+
+        Three degradation signals, each measured to track real
+        gradient-accuracy loss (see docs/perf.md):
+        - escalation to the bound-scaled fallback eps fired (matrix
+          singular at the small-eps rung: the factor is of K + eps2·I
+          with eps2 possibly exceeding the model's own noise);
+        - probe residual ≫ healthy (self-healing lift engaged: some
+          diagonal block was bumped by ~1e3 roundoffs);
+        - pivot condition estimate beyond ~0.3/eps (forward error of
+          solves ~ eps·cond approaches 100%).
+        """
+        mach = _float_eps(self._L.dtype)
+
+        @skipifabstract
+        def check():
+            import warnings
+            n = self.n
+            if bool(self._escalated):
+                warnings.warn(
+                    f'Chol.{what}: the matrix was numerically singular '
+                    f'at {self._L.dtype}; the factorization used the '
+                    f'fallback regularization eps={float(self._eps):.2e} '
+                    f'which may exceed the model noise.  Likelihoods '
+                    f'and gradients are unreliable; add noise, pass '
+                    f'epsabs explicitly, or use float64.'
+                )
+            elif float(self._resid_ratio) > 100 * max(1., n ** 0.5):
+                warnings.warn(
+                    f'Chol.{what}: factorization residual '
+                    f'{float(self._resid_ratio):.1e} eps-units means '
+                    f'self-healing regularization engaged: conditioning '
+                    f'is at the {self._L.dtype} limit and results may '
+                    f'be inaccurate.  Add noise or use float64.'
+                )
+            elif float(self._cond_est) > 0.3 / mach:
+                warnings.warn(
+                    f'Chol.{what}: condition number ~'
+                    f'{float(self._cond_est):.1e} approaches the '
+                    f'{self._L.dtype} resolution 1/eps={1 / mach:.1e}; '
+                    f'solve and gradient accuracy degrades as '
+                    f'eps*cond.  Add noise or use float64.'
+                )
 
     def matrix(self):
         L, s = self._L, self._s
@@ -238,6 +386,7 @@ class Chol(Decomposition):
         return solve_triangular(self._L, x, lower=True, trans=1)
 
     def ginv_linear(self, X):
+        self._warn_if_degraded('ginv_linear')
         s = self._s
         Xs = X * s[:, None] if X.ndim > 1 else X * s
         out = self._solve_Lt(self._solve_L(Xs))
@@ -245,12 +394,14 @@ class Chol(Decomposition):
 
     def pinv_bilinear(self, A, r):
         # A' K⁻¹ r = (L⁻¹ S A)' (L⁻¹ S r)
+        self._warn_if_degraded('pinv_bilinear')
         s = self._s
         ZA = self._solve_L(A * s[:, None])
         zr = self._solve_L(r * s)
         return ZA.T @ zr
 
     def ginv_quad(self, A):
+        self._warn_if_degraded('ginv_quad')
         s = self._s
         ZA = self._solve_L(A * s[:, None])
         return ZA.T @ ZA
@@ -289,6 +440,7 @@ class Chol(Decomposition):
         return 2 * logdiagL - 2 * jnp.sum(jnp.log(self._s))
 
     def minus_log_normal_density(self, r):
+        self._warn_if_degraded('minus_log_normal_density')
         z = self.pinv_correlate(r)
         n = self.n
         return 0.5 * (
