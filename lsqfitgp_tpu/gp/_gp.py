@@ -76,7 +76,12 @@ class GP:
     covfun : Kernel, optional
         Kernel of the default process.
     solver : str
-        Decomposition used for posteriors ('chol').
+        Decomposition used for posteriors: 'chol' (single-chip blocked
+        MXU Cholesky) or 'chol-distributed' (mesh-distributed
+        factorization + solves; pass ``mesh=`` and optionally
+        ``axis=``/``block=`` as extra keywords — the covariance lives
+        row-sharded over the mesh and no device materializes more than
+        its strip).
     checkpos, checksym, checkfinite, checklin : bool
         Eager sanity checks (run at trace time, compile away).
     posepsfac : float
@@ -100,6 +105,7 @@ class GP:
         self._kernel_cache = {}
         self._covblock_cache = {}
         self._decomp_cache = {}
+        self._user_decomps = {}
         self._solverkw = dict(kw)
         self._solver = solver
         if gram not in ('auto', 'tiled', 'broadcast'):
@@ -130,6 +136,7 @@ class GP:
         new._kernel_cache = dict(self._kernel_cache)
         new._covblock_cache = dict(self._covblock_cache)
         new._decomp_cache = dict(self._decomp_cache)
+        new._user_decomps = dict(self._user_decomps)
         new._solverkw = self._solverkw
         new._solver = self._solver
         new._checks = self._checks
@@ -427,11 +434,21 @@ class GP:
 
     def addcov(self, covblocks, key=None, *, decomps=None):
         """Add finite variables with explicit covariance blocks
-        (reference ``_elements.py:409``)."""
+        (reference ``_elements.py:409``).
+
+        ``decomps``: optional pre-computed :class:`Decomposition` of a
+        diagonal block (or dict key -> decomposition).  When an
+        inference call's data covers exactly one such key (and adds no
+        extra covariance), the stored decomposition is used directly,
+        skipping the refactorization — the reference's use of user
+        decompositions (``_elements.py:409``, ``_compute.py:45-94``).
+        """
         if not isinstance(covblocks, dict):
             if key is None:
                 raise ValueError('key required when covblocks is not a dict')
             covblocks = {(key, key): covblocks}
+            if decomps is not None and not isinstance(decomps, dict):
+                decomps = {key: decomps}
         elif key is not None:
             raise ValueError('key not allowed when covblocks is a dict')
 
@@ -479,6 +496,28 @@ class GP:
                         'non-finite covariance block'
             _jaxutil.skipifabstract(checkf)
 
+        if decomps is not None:
+            from ..linalg import Decomposition
+            if not isinstance(decomps, dict):
+                raise TypeError(
+                    'decomps must be a dict key -> Decomposition when '
+                    'covblocks is a dict'
+                )
+            for k, d in decomps.items():
+                if k not in elkeys:
+                    raise KeyError(
+                        f'decomps key {k!r} not among covblocks keys'
+                    )
+                if not isinstance(d, Decomposition):
+                    raise TypeError(
+                        f'decomps[{k!r}] is not a Decomposition'
+                    )
+                if d.n != _size(shapes[k]):
+                    raise ValueError(
+                        f'decomps[{k!r}].n = {d.n} != block size '
+                        f'{_size(shapes[k])}'
+                    )
+
         new = self._clone()
         for k in elkeys:
             new._elements[k] = _CovEl(shapes[k])
@@ -492,6 +531,9 @@ class GP:
                 else:
                     blk = jnp.zeros((n1, n2))
                 new._covblock_cache[k1, k2] = blk
+        if decomps is not None:
+            for k, d in decomps.items():
+                new._user_decomps[k] = d
         return new
 
     # -- covariance assembly -------------------------------------------------
@@ -530,8 +572,27 @@ class GP:
             return blk
         xa = ea.x.reshape(-1) if ea.x.ndim != 1 else ea.x
         xb = eb.x.reshape(-1) if eb.x.ndim != 1 else eb.x
+        sym = ea is eb or (eb.x is ea.x and eb.proc == ea.proc
+                           and eb.deriv == ea.deriv)
+        if sym and self._halfmatrix:
+            return self._block_points_half(kernel, xa)
         blk = kernel(xa[:, None], xb[None, :])
         return blk
+
+    def _block_points_half(self, kernel, x):
+        """Symmetric point block evaluated only on the packed upper
+        triangle: the kernel core runs on two GATHERED 1-D vectors of
+        n(n+1)/2 point pairs instead of the full (n, n) broadcast —
+        half the evaluations, which is the win for expensive cores
+        (BART's per-entry scan, fractional Matérn quadrature).
+        Counterpart of reference ``_elements.py:567-573``
+        (``halfmatrix``), which the round-2 build only offered for
+        isotropic fast-path kernels."""
+        n = x.shape[0]
+        iu, ju = jnp.triu_indices(n)
+        ka = kernel(x[iu], x[ju])
+        K = jnp.zeros((n, n), dtype=ka.dtype).at[iu, ju].set(ka)
+        return K + K.T - jnp.diag(jnp.diag(K))
 
     def _block_points_tiled(self, kernel, ea, eb):
         """Pallas tiled Gram assembly for isotropic kernels: r² via the
@@ -635,6 +696,13 @@ class GP:
         cacheable = extracov is None and not decompkw
         if cacheable and cachekey in self._decomp_cache:
             return self._decomp_cache[cachekey]
+        if (
+            len(inkeys) == 1 and extracov is None and not decompkw
+            and inkeys[0] in self._user_decomps
+        ):
+            # the data covariance IS a user-decomposed addcov block:
+            # use the stored decomposition, skip refactorization
+            return self._user_decomps[inkeys[0]]
         Kxx = self._assemble(inkeys, inkeys)
         if extracov is not None:
             Kxx = Kxx + extracov
@@ -646,17 +714,29 @@ class GP:
         return dec
 
     def _make_decomp(self, K, **decompkw):
-        if self._solver != 'chol':
-            raise KeyError(f'unknown solver {self._solver!r}')
-        return Chol(K, **{**self._solverkw, **decompkw})
+        kw = {**self._solverkw, **decompkw}
+        if self._solver == 'chol':
+            return Chol(K, **kw)
+        if self._solver == 'chol-distributed':
+            # the mesh-distributed Decomposition: K enters row-sharded
+            # (the constraint also makes XLA partition the assembly),
+            # the factorization and every solve stay distributed — so
+            # ANY model the element layer can express runs at pod
+            # scale, not just raw-kernel regressions
+            from ..parallel import CholDistributed
+            return CholDistributed(K, **kw)
+        raise KeyError(f'unknown solver {self._solver!r}')
 
     @classmethod
     def decompose(cls, posdefmatrix, solver='chol', **kw):
         """Decompose a PSD matrix with the GP solver machinery
         (reference ``_compute.py:431``)."""
-        if solver != 'chol':
-            raise KeyError(f'unknown solver {solver!r}')
-        return Chol(jnp.asarray(posdefmatrix), **kw)
+        if solver == 'chol':
+            return Chol(jnp.asarray(posdefmatrix), **kw)
+        if solver == 'chol-distributed':
+            from ..parallel import CholDistributed
+            return CholDistributed(jnp.asarray(posdefmatrix), **kw)
+        raise KeyError(f'unknown solver {solver!r}')
 
     # -- data flattening ---------------------------------------------------------
 

@@ -20,3 +20,4 @@ from ._pchol import (
     block_cholesky, block_solve_lower, block_solve_lower_t,
     cyclic_permutation,
 )
+from ._dchol import CholDistributed
