@@ -24,6 +24,11 @@ def add(tcls, self, other):
     core = self.core
     if _util.is_numerical_scalar(other):
         newcore = lambda x, y, **kw: core(x, y, **kw) + other
+        new = self._clone(core=newcore)
+        # scalar offset composes with the tiled-Gram profile
+        from . import _fastgram
+        new._fastgram = _fastgram.post_spec(self._fastgram, 'add', other)
+        return new
     elif isinstance(other, CrossKernel):
         ocore = other.core
         newcore = lambda x, y, **kw: core(x, y, **kw) + ocore(x, y, **kw)
@@ -38,6 +43,12 @@ def mul(tcls, self, other):
     core = self.core
     if _util.is_numerical_scalar(other):
         newcore = lambda x, y, **kw: core(x, y, **kw) * other
+        new = self._clone(core=newcore)
+        # amplitude hyperparameters (amp * k, the universal fit form)
+        # keep the tiled-Gram dispatch
+        from . import _fastgram
+        new._fastgram = _fastgram.post_spec(self._fastgram, 'mul', other)
+        return new
     elif isinstance(other, CrossKernel):
         ocore = other.core
         newcore = lambda x, y, **kw: core(x, y, **kw) * ocore(x, y, **kw)

@@ -37,8 +37,15 @@ __all__ = ['FastGramSpec', 'make_spec', 'leaf_columns', 'build_profile']
 FastGramSpec = collections.namedtuple(
     'FastGramSpec',
     ['core', 'mode', 'static_kw', 'dyn_names', 'dyn_values', 'scale',
-     'loc', 'maxdim'],
+     'loc', 'maxdim', 'post'],
 )
+# post: ordered chain of ('mul'|'add', scalar) applied OUTSIDE the
+# profile, accumulated by the `mul`/`add` algops so the universal fit
+# parameterizations ``amp * ExpQuad(...)`` and ``k + const`` keep the
+# tiled-Gram dispatch (round-2 finding: any transformation dropped the
+# spec, so the Pallas engine never engaged inside empbayes_fit models).
+# The scalars (traced or not) ride the positional parameter vector of
+# ops.gram alongside dyn_values, so hyperparameter gradients flow.
 
 # constructor arguments consumed by CrossKernel.__new__ itself
 _RESERVED = {
@@ -105,8 +112,21 @@ def make_spec(core, mode, kw):
     return FastGramSpec(
         core=core, mode=mode, static_kw=static_kw,
         dyn_names=tuple(dyn_names), dyn_values=tuple(dyn_values),
-        scale=scale, loc=loc, maxdim=maxdim,
+        scale=scale, loc=loc, maxdim=maxdim, post=(),
     )
+
+
+def post_spec(spec, op, value):
+    """Spec of ``op(kernel, scalar)`` for op in 'mul'/'add', or None.
+    The chain is ordered, so ``(k + c) * a`` and ``k * a + c`` stay
+    distinct."""
+    if spec is None or not _is_scalar_value(value):
+        return None
+    try:
+        v = jnp.reshape(jnp.asarray(value), ())
+    except TypeError:
+        return None
+    return spec._replace(post=spec.post + ((op, v),))
 
 
 def leaf_columns(x):
@@ -148,8 +168,12 @@ def build_profile(spec):
     mode = spec.mode
     static_kw = spec.static_kw
     dyn_names = spec.dyn_names
+    nd = len(dyn_names)
+    post_ops = tuple(op for op, _ in spec.post)
 
-    def profile(r2, *dyn):
+    def profile(r2, *params):
+        dyn = params[:nd]
+        postv = params[nd:]
         kwargs = dict(static_kw)
         kwargs.update(zip(dyn_names, dyn))
         if mode == 'squared':
@@ -166,9 +190,12 @@ def build_profile(spec):
             # unlike sqrt(r2) + eps
             eps = jnp.finfo(r2.dtype).eps
             t = jnp.sqrt(r2 + eps * eps)
-        return core(t, **kwargs)
+        out = core(t, **kwargs)
+        for op, v in zip(post_ops, postv):
+            out = out * v if op == 'mul' else out + v
+        return out
 
-    return profile, spec.dyn_values
+    return profile, spec.dyn_values + tuple(v for _, v in spec.post)
 
 
 def transform_points(spec, cols):
