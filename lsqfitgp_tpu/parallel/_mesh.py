@@ -142,7 +142,7 @@ def sharded_nll_distributed(kernel_fn, x, y, noise_var, *, mesh,
 
 
 def sharded_posterior(kernel_fn, x, y, xs, noise_var, *, mesh,
-                      axis='r', block=128, layout='cyclic'):
+                      axis='r', block=128, layout='cyclic', cov=False):
     """Distributed GP posterior (mean, variance) at prediction points
     ``xs`` given data (x, y): assembly, factorization, and both solves
     in ONE fused ``shard_map``, no device ever holding more than its
@@ -151,6 +151,11 @@ def sharded_posterior(kernel_fn, x, y, xs, noise_var, *, mesh,
     mean = Kxs' (Kxx+noise)⁻¹ y,  var = diag(Kss) − colsums((L⁻¹Kxs)²),
     computed by folding each solved block row of W = L⁻¹Kxs into the
     running mean/variance statistics instead of materializing W.
+
+    ``cov=True`` returns ``(mean, covariance)`` instead: the full
+    (ns, ns) posterior covariance Kss − W'W, accumulated per solved
+    block row (adds one (B, ns)²-matmul per panel; the (ns, ns)
+    accumulator is replicated, so keep ns per-chip-sized).
     """
     import functools
     from jax import lax
@@ -209,10 +214,16 @@ def sharded_posterior(kernel_fn, x, y, xs, noise_var, *, mesh,
             acc = acc + cols @ Wk
             zk = lax.dynamic_slice(z, (c0,), (block,))
             mean = mean + Wk.T @ zk
-            var = var - jnp.sum(Wk * Wk, axis=0)
+            if cov:
+                var = var - Wk.T @ Wk
+            else:
+                var = var - jnp.sum(Wk * Wk, axis=0)
             return acc, mean, var
 
-        kss = jax.vmap(lambda p: kernel_fn(p, p))(xs)
+        if cov:
+            kss = kernel_fn(xs[:, None], xs[None, :])      # (ns, ns)
+        else:
+            kss = jax.vmap(lambda p: kernel_fn(p, p))(xs)  # diag only
         acc0 = jnp.zeros((rows_per, ns), K_local.dtype)
         mean0 = jnp.zeros(ns, K_local.dtype)
         acc0, mean0, kss = _pchol._pvary((acc0, mean0, kss), axis)

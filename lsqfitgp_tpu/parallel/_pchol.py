@@ -294,10 +294,11 @@ def _pvary(tree, axis):
     import jax
 
     def one(v):
+        # pcast is the current API; pvary is its deprecated alias
         try:
-            return lax.pvary(v, (axis,))
-        except (AttributeError, TypeError):  # pragma: no cover
             return lax.pcast(v, (axis,), to='varying')
+        except (AttributeError, TypeError):  # pragma: no cover
+            return lax.pvary(v, (axis,))
 
     return jax.tree.map(one, tree)
 

@@ -261,6 +261,39 @@ class TestShardedPosterior:
                                          atol32=1e-3))
         assert np.all(np.asarray(var) >= -1e-9)
 
+    def test_full_covariance(self, mesh1d, rng):
+        """cov=True returns the full (ns, ns) posterior covariance."""
+        from lsqfitgp_tpu.parallel import sharded_posterior
+        n, ns = 128, 12
+        x = jnp.asarray(np.sort(rng.uniform(-5, 5, n)))
+        xs = jnp.asarray(np.linspace(-4, 4, ns))
+        y = jnp.asarray(np.sin(np.asarray(x))
+                        + 0.1 * rng.standard_normal(n))
+        k = lgp.ExpQuad(scale=1.5)
+        noise = 0.05
+
+        mean, covm = sharded_posterior(
+            k.core, x, y, xs, noise, mesh=mesh1d, block=16, cov=True)
+        assert covm.shape == (ns, ns)
+
+        K = np.asarray(k(np.asarray(x)[:, None], np.asarray(x)[None, :]))
+        K = K + noise * np.eye(n)
+        Ks = np.asarray(k(np.asarray(x)[:, None], np.asarray(xs)[None, :]))
+        Kss = np.asarray(k(np.asarray(xs)[:, None],
+                           np.asarray(xs)[None, :]))
+        W = np.linalg.solve(np.linalg.cholesky(K), Ks)
+        want_cov = Kss - W.T @ W
+        np.testing.assert_allclose(np.asarray(covm), want_cov,
+                                   **tol(1e-8, 1e-10, rtol32=1e-3,
+                                         atol32=1e-3))
+        # diagonal agrees with the var-only mode
+        _, var = sharded_posterior(
+            k.core, x, y, xs, noise, mesh=mesh1d, block=16)
+        np.testing.assert_allclose(np.asarray(covm).diagonal(),
+                                   np.asarray(var),
+                                   **tol(1e-9, 1e-10, rtol32=1e-4,
+                                         atol32=1e-4))
+
     def test_matrix_rhs_solve(self, mesh1d, rng):
         # the generalized forward substitution with an (n, m) RHS
         n, B, m = 128, 16, 5
