@@ -55,6 +55,59 @@ def test_chisq_coverage(rng):
     assert p > 1e-3, (q, p, est, np.sqrt(np.diag(cov)))
 
 
+# -- parametrized battery: kernels x methods x optimizers ---------------
+# (model: reference tests/test_fit.py:60-200 multi-kernel multi-method
+# grid with the flaky-tolerant retry of tests/util.py:105)
+
+_KERNELS = {
+    'expquad': lambda scale: lgp.ExpQuad(scale=scale),
+    'matern52': lambda scale: lgp.Maternp(p=2, scale=scale),
+    'cauchy': lambda scale: lgp.Cauchy(scale=scale),
+}
+
+_DRIVERS = [
+    ('gradient', 'scipy'),
+    ('gradient', 'optax'),
+    ('fisher', 'scipy'),
+]
+
+
+@pytest.mark.parametrize('method,optimizer', _DRIVERS,
+                         ids=[f'{m}-{o}' for m, o in _DRIVERS])
+@pytest.mark.parametrize('kernel', sorted(_KERNELS))
+@tryagain
+def test_chisq_coverage_grid(rng, kernel, method, optimizer):
+    """Coverage of the true hyperparameters across kernel families,
+    minimization methods, and optimizers."""
+    true_logscale, true_logamp = np.log(2.0), 0.2
+    n, sigma = 50, 0.05
+    kfam = _KERNELS[kernel]
+    x = np.sort(rng.uniform(-5, 5, n))
+    k = np.exp(true_logamp) ** 2 * kfam(np.exp(true_logscale))
+    K = np.asarray(k(x[:, None], x[None, :]), 'f8')
+    f = np.linalg.cholesky(K + 1e-6 * np.eye(n)) @ rng.standard_normal(n)
+    y = f + sigma * rng.standard_normal(n)
+
+    def gpf(hp):
+        gp = GP(hp['amp'] ** 2 * kfam(hp['scale']))
+        gp = gp.addx(x, 'f').addcov(sigma ** 2 * jnp.eye(n), 'e')
+        return gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                               checklin=False)
+
+    fit = empbayes_fit(
+        {'log(scale)': (0.0, 1.5), 'log(amp)': (0.0, 1.5)},
+        gpf, {'y': y}, method=method, optimizer=optimizer,
+        raises=False,
+    )
+    truth = np.array([true_logscale, true_logamp])
+    est = np.asarray(fit.pmean)
+    cov = np.asarray(fit.pcov)
+    resid = est - truth
+    q = float(resid @ np.linalg.solve(cov, resid))
+    p = scipy.stats.chi2(2).sf(q)
+    assert p > 1e-3, (q, p, est, np.sqrt(np.diag(cov)))
+
+
 @tryagain
 def test_residuals_normalized(rng):
     """Posterior predictive standardized residuals roughly N(0, 1)."""
