@@ -333,6 +333,16 @@ def normal(mean, sdev):
 
 def ufunc(f, x, dfdx=None):
     """Apply a scalar function elementwise with delta-method propagation."""
+    import numpy
+    if isinstance(f, numpy.ufunc):
+        # numpy ufuncs can't trace; swap in the jax twin (np.exp -> jnp.exp)
+        jf = getattr(jnp, f.__name__, None)
+        if jf is None:
+            raise TypeError(
+                f'numpy ufunc {f.__name__} has no jax.numpy equivalent; '
+                f'pass a traceable function'
+            )
+        f = jf
     if not isinstance(x, UArray):
         return f(x)
     if dfdx is None:
