@@ -71,6 +71,89 @@ def _scan_time(loop, args, inner=10, base=4, reps=3):
     return max(t(inner) - t(base), 1e-9) / (inner - base)
 
 
+def _direct_time(fn, args, reps=5):
+    """Repeated-dispatch timing with host materialization sync, minus
+    the measured tunnel-sync floor; for programs too large to wrap in
+    the scan harness (n=32768 holds a 4 GB operand per iteration)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _nop(x):
+        return x + 1
+
+    float(_nop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(_nop(jnp.float32(0)))
+    sync = (time.perf_counter() - t0) / 10
+
+    float(fn(*args))
+    best = float('inf')
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - sync, 1e-9)
+
+
+def chol_direct(n, dtype):
+    """chol+solve pipeline for direct-dispatch timing (no scan)."""
+    import jax
+    import jax.numpy as jnp
+    from lsqfitgp_tpu.linalg import Chol
+
+    x, y = make_problem(n, dtype)
+    import lsqfitgp_tpu as lgp
+    k = lgp.ExpQuad(scale=2.0)
+    K0 = jax.jit(lambda x: k.core(x[:, None], x[None, :])
+                 + jnp.asarray(0.01, dtype) * jnp.eye(n, dtype=dtype))(x)
+
+    @jax.jit
+    def pipe(K, y):
+        return Chol(K).minus_log_normal_density(y)
+
+    return pipe, (K0, y)
+
+
+def gram_insitu_loop(n, dtype, mode, p=8):
+    """Gram assembly through the GP OBJECT with the universal
+    amp * ExpQuad fit parameterization on p structured feature columns:
+    measures the tiled-vs-broadcast crossover exactly where fits live
+    (the round-3 fast-gram 'post' chain keeps the tiled dispatch)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import numpy
+    import lsqfitgp_tpu as lgp
+
+    rng = numpy.random.default_rng(0)
+    feats = rng.standard_normal((n, p))
+    xs = lgp.asarray({
+        f'f{i}': jnp.asarray(feats[:, i], dtype) for i in range(p)
+    })
+    ones = jnp.ones(n, dtype)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(a0, length):
+        def body(c, _):
+            amp = jnp.exp(a0 + c * jnp.asarray(1e-30, dtype))
+            gp = lgp.GP(amp * lgp.ExpQuad(scale=2.0), gram=mode,
+                        checkpos=False, checksym=False,
+                        checkfinite=False, checklin=False)
+            gp = gp.addx(xs, 'f')
+            K = gp.prior('f', raw=True)
+            K = lax.optimization_barrier(K)
+            v = K @ ones
+            return jnp.asarray(1e-30, dtype) * v[0], None
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None,
+                        length=length)
+        return c
+
+    return loop, (jnp.asarray(0.1, dtype),)
+
+
 def make_problem(n, dtype):
     import jax.numpy as jnp
     import numpy
@@ -226,9 +309,14 @@ def main():
     extras = {}
     for name, maker, sizes in (
         ('chol', chol_loop, (4096, 8192)),
+        ('chol_direct', chol_direct, (32768,)),
         ('gram', gram_loop, (4096, 8192, 16384)),
         ('gram_tiled_p8', gram_tiled_loop, (8192,)),
-        ('fit_iter', fit_iter_loop, (4096, 16384)),
+        ('gp_gram_tiled_p8',
+         lambda n, d: gram_insitu_loop(n, d, 'tiled'), (8192,)),
+        ('gp_gram_broadcast_p8',
+         lambda n, d: gram_insitu_loop(n, d, 'broadcast'), (8192,)),
+        ('fit_iter', fit_iter_loop, (4096, 8192, 16384)),
     ):
         for n in sizes:
             if backend == 'cpu' or _elapsed() > _BUDGET:
@@ -236,12 +324,15 @@ def main():
             try:
                 t0 = time.perf_counter()
                 loop, args = maker(n, dtype)
-                t = _scan_time(loop, args)
+                if name == 'chol_direct':
+                    t = _direct_time(loop, args)
+                else:
+                    t = _scan_time(loop, args)
                 extras[f'{name}_n{n}'] = t
                 msg = f'[bench] {name} n={n}: {t * 1e3:.2f} ms'
-                if name == 'chol':
+                if name.startswith('chol'):
                     msg += f', {pipeline_flops(n) / t / 1e12:.2f} TFLOP/s'
-                if name.startswith('gram'):
+                if name.startswith('gram') or name.startswith('gp_gram'):
                     msg += f', {n * n * 4 / t / 1e9:.0f} GB/s written'
                 _log(msg + f' (setup {time.perf_counter() - t0:.0f}s)')
             except Exception as exc:  # noqa: BLE001 - extras are best-effort

@@ -62,6 +62,15 @@ def _precision(precision):
 
 _LIFT = 1024  # self-healing diagonal lift, in units of eps * matrix scale
 
+# above this size the adaptive two-pass precision ladder (HIGH probe +
+# HIGHEST refactorization under lax.cond) is replaced by a single
+# HIGH-precision pass with self-healing lifts: the cond keeps BOTH
+# branches' factor buffers live, and at n=32768 (f32) that is the
+# difference between ~11 GB peak (fits a 16 GB chip with headroom) and
+# OOM.  Degradations that the HIGHEST rung would have resolved are
+# still detected by Chol's probe/conditioning diagnostics.
+_ADAPTIVE_MAX = 24576
+
 
 def _chol_lifted(D, bump):
     """Cholesky of a block with self-healing diagonal lifting.
@@ -221,34 +230,30 @@ def _tree_solve_right_t(B, tree, dinvs, block, precision):
 
 
 def _tree_assemble(tree, n, block):
-    """Dense lower factor (cropped to (n, n)) from a factor tree:
-    collect each block column's pieces top-to-bottom, one vertical +
-    one horizontal concatenation — a single n²-write pass."""
+    """Dense lower factor (cropped to (n, n)) from a factor tree.
+
+    Each tree piece is written once into ONE zero-initialized buffer
+    with ``dynamic_update_slice`` — XLA performs these as in-place
+    writes on the unique live buffer.  The earlier concatenation
+    formulation kept the per-level concat partials alive
+    simultaneously (measured: a 4+2+1+0.5 GB temp chain at n=32768 —
+    the difference between fitting in 16 GB HBM and OOM)."""
     if not isinstance(tree, tuple):
         return tree[:n, :n]
     P, _, _ = tree
-    nb = (P.shape[0] + P.shape[1]) // block
-    dtype = P.dtype
-    cols = [[] for _ in range(nb)]
+    npad = P.shape[0] + P.shape[1]
+    L = jnp.zeros((npad, npad), P.dtype)
 
-    def collect(tree, j0):
+    def place(L, tree, o):
         if not isinstance(tree, tuple):
-            cols[j0].append(tree)
-            return
+            return lax.dynamic_update_slice(L, tree, (o, o))
         P, t11, t22 = tree
-        hb = P.shape[1] // block
-        collect(t11, j0)
-        for j in range(hb):
-            cols[j0 + j].append(P[:, j * block:(j + 1) * block])
-        collect(t22, j0 + hb)
+        h = P.shape[1]
+        L = place(L, t11, o)
+        L = lax.dynamic_update_slice(L, P, (o + h, o))
+        return place(L, t22, o + h)
 
-    collect(tree, 0)
-    strips = []
-    for j, ps in enumerate(cols):
-        top = jnp.zeros((j * block, block), dtype)
-        strips.append(jnp.concatenate([top] + ps, axis=0))
-    L = jnp.concatenate(strips, axis=1)
-    return L[:n, :n]
+    return place(L, tree, 0)[:n, :n]
 
 
 def _chol_tree_impl(K, s, eps, block, b1, prec, lift):
@@ -418,35 +423,58 @@ def diag_block_inverses(L, block):
     )(D)
 
 
-def _solve_lower_rec(L, B, dinvs, block, precision):
-    """X = L^{-1} B by recursive halving (forward substitution as a
-    log-depth tree of large matmuls).  ``L`` (k, k) lower triangular,
-    ``B`` (k, m), ``dinvs`` list of leaf diagonal-block inverses."""
-    k = L.shape[0]
-    if k == block:
-        return jnp.dot(dinvs[0], B, precision=precision)
-    hb = ((k // block) + 1) // 2
-    h = hb * block
-    X1 = _solve_lower_rec(L[:h, :h], B[:h], dinvs[:hb], block,
-                          precision)
-    B2 = B[h:] - jnp.dot(L[h:, :h], X1, precision=precision)
-    X2 = _solve_lower_rec(L[h:, h:], B2, dinvs[hb:], block, precision)
-    return jnp.concatenate([X1, X2], axis=0)
+def _solve_lower_scan(L, B, Dinv, block, precision):
+    """X = L^{-1} B as a ``lax.scan`` over block rows: step k reads one
+    (block, n) row strip of L (fused into the matmul), subtracts its
+    product with the partially-filled solution (unsolved rows are
+    zero), and writes the solved block with ``dynamic_update_slice``.
+
+    O(nb) program size with O(n·m) live state — the earlier
+    recursive-halving formulation materialized its L sub-slices at
+    every level (~n²/2 per level × log nb levels, the difference
+    between n=32768 fitting in HBM and OOM).  Linear in ``B`` with L
+    and Dinv as constants, so JAX's scan transposition gives the
+    reverse-mode rule with the same memory profile."""
+    nb2 = L.shape[0] // block
+    n = L.shape[0]
+    m = B.shape[1]
+    # B rides the scan as xs (scan transposition requires the LINEAR
+    # variable to be an explicit scan input, not a closure constant)
+    Bb = B.reshape(nb2, block, m)
+
+    def step(X, inp):
+        k, bk = inp
+        c0 = k * block
+        row = lax.dynamic_slice(L, (c0, 0), (block, n))
+        rhs = bk - jnp.dot(row, X, precision=precision)
+        xk = jnp.dot(Dinv[k], rhs, precision=precision)
+        return lax.dynamic_update_slice(X, xk, (c0, 0)), None
+
+    X, _ = lax.scan(step, jnp.zeros((n, m), B.dtype),
+                    (jnp.arange(nb2), Bb))
+    return X
 
 
-def _solve_lower_t_rec(L, B, dinvs, block, precision):
-    """X = L^{-T} B by recursive halving (backward substitution)."""
-    k = L.shape[0]
-    if k == block:
-        return jnp.dot(dinvs[0].T, B, precision=precision)
-    hb = ((k // block) + 1) // 2
-    h = hb * block
-    X2 = _solve_lower_t_rec(L[h:, h:], B[h:], dinvs[hb:], block,
-                            precision)
-    B1 = B[:h] - jnp.dot(L[h:, :h].T, X2, precision=precision)
-    X1 = _solve_lower_t_rec(L[:h, :h], B1, dinvs[:hb], block,
-                            precision)
-    return jnp.concatenate([X1, X2], axis=0)
+def _solve_lower_t_scan(L, B, Dinv, block, precision):
+    """X = L^{-T} B by backward block substitution under ``lax.scan``
+    (same memory profile as `_solve_lower_scan`); step k reads one
+    (n, block) column strip of L."""
+    nb2 = L.shape[0] // block
+    n = L.shape[0]
+    m = B.shape[1]
+    Bb = B.reshape(nb2, block, m)
+
+    def step(X, inp):
+        k, bk = inp
+        c0 = k * block
+        col = lax.dynamic_slice(L, (0, c0), (n, block))
+        rhs = bk - jnp.dot(col.T, X, precision=precision)
+        xk = jnp.dot(Dinv[k].T, rhs, precision=precision)
+        return lax.dynamic_update_slice(X, xk, (c0, 0)), None
+
+    X, _ = lax.scan(step, jnp.zeros((n, m), B.dtype),
+                    (jnp.arange(nb2 - 1, -1, -1), Bb[::-1]))
+    return X
 
 
 def _solve_prep(L, B, block, Dinv):
@@ -461,23 +489,82 @@ def _solve_prep(L, B, block, Dinv):
         B = jnp.concatenate(
             [B, jnp.zeros((nb - n, B.shape[1]), B.dtype)])
         L = _pad_spd(L, nb)
-    return L, B, list(Dinv), vec
+    return L, B, Dinv, vec
+
+
+def _solve_lower_linear(L, B, Dinv, block, precision):
+    """The B-linear solve with its transpose declared explicitly:
+    transpose of B ↦ L⁻¹B is ct ↦ L⁻ᵀct, i.e. the forward and backward
+    block substitutions are each other's transposes — so reverse mode
+    never differentiates through the scan internals."""
+    from jax.custom_derivatives import linear_call
+    return linear_call(
+        lambda res, b: _solve_lower_scan(
+            res[0], b, res[1], block, precision),
+        lambda res, ct: _solve_lower_t_scan(
+            res[0], ct, res[1], block, precision),
+        (L, Dinv), B)
+
+
+def _solve_lower_t_linear(L, B, Dinv, block, precision):
+    from jax.custom_derivatives import linear_call
+    return linear_call(
+        lambda res, b: _solve_lower_t_scan(
+            res[0], b, res[1], block, precision),
+        lambda res, ct: _solve_lower_scan(
+            res[0], ct, res[1], block, precision),
+        (L, Dinv), B)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def _solve_lower_cjvp(L, B, Dinv, block, precision):
+    return _solve_lower_linear(L, B, Dinv, block, precision)
+
+
+@_solve_lower_cjvp.defjvp
+def _solve_lower_jvp(block, precision, primals, tangents):
+    # analytic rule dX = L⁻¹(dB − dL X): keeps L/Dinv as pure (non-
+    # tangent) constants inside the scan, so reverse mode only ever
+    # transposes the B-linear scan (which JAX supports); dDinv is
+    # mathematically determined by dL and drops out of the formula
+    L, B, Dinv = primals
+    dL, dB, _ = tangents
+    X = _solve_lower_cjvp(L, B, Dinv, block, precision)
+    rhs = dB - jnp.dot(dL, X, precision=precision)
+    dX = _solve_lower_linear(L, rhs, Dinv, block, precision)
+    return X, dX
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def _solve_lower_t_cjvp(L, B, Dinv, block, precision):
+    return _solve_lower_t_linear(L, B, Dinv, block, precision)
+
+
+@_solve_lower_t_cjvp.defjvp
+def _solve_lower_t_jvp(block, precision, primals, tangents):
+    L, B, Dinv = primals
+    dL, dB, _ = tangents
+    X = _solve_lower_t_cjvp(L, B, Dinv, block, precision)
+    rhs = dB - jnp.dot(dL.T, X, precision=precision)
+    dX = _solve_lower_t_linear(L, rhs, Dinv, block, precision)
+    return X, dX
 
 
 def solve_lower(L, B, *, block=512, Dinv=None, precision=None):
     """X = L^-1 B by blocked forward substitution (matmul-based).
 
-    ``L``: (n, n) lower triangular; ``B``: (n,) or (n, m).  All steps are
-    static-shape matmuls (at ``precision``, default HIGH on TPU), using
-    the diagonal-block inverses, so this runs at MXU rate instead of
-    XLA's sequential triangular-solve loop.  Linear in ``B`` and built
-    from transposable ops; the recursive-halving structure keeps the
-    program (and its AD transpose) at O(nb log nb) ops.
+    ``L``: (n, n) lower triangular; ``B``: (n,) or (n, m).  All steps
+    are static-shape matmuls (at ``precision``, default HIGH on TPU),
+    using the diagonal-block inverses, so this runs at MXU rate instead
+    of XLA's sequential triangular-solve loop.  Expressed as a linear
+    ``lax.scan`` (O(nb) program, O(n·m) state) under a ``custom_jvp``
+    with the analytic rule dX = L⁻¹(dB − dL X), so both AD modes work
+    without saving per-step residuals.
     """
     precision = _precision(precision)
     n = L.shape[0]
-    Lp, Bp, dinvs, vec = _solve_prep(L, B, block, Dinv)
-    X = _solve_lower_rec(Lp, Bp, dinvs, block, precision)[:n]
+    Lp, Bp, Dinvp, vec = _solve_prep(L, B, block, Dinv)
+    X = _solve_lower_cjvp(Lp, Bp, Dinvp, block, precision)[:n]
     return X[:, 0] if vec else X
 
 
@@ -485,8 +572,8 @@ def solve_lower_t(L, B, *, block=512, Dinv=None, precision=None):
     """X = L^-T B by blocked backward substitution (matmul-based)."""
     precision = _precision(precision)
     n = L.shape[0]
-    Lp, Bp, dinvs, vec = _solve_prep(L, B, block, Dinv)
-    X = _solve_lower_t_rec(Lp, Bp, dinvs, block, precision)[:n]
+    Lp, Bp, Dinvp, vec = _solve_prep(L, B, block, Dinv)
+    X = _solve_lower_t_cjvp(Lp, Bp, Dinvp, block, precision)[:n]
     return X[:, 0] if vec else X
 
 
@@ -523,6 +610,8 @@ def chol_factor(K, block=512, b1=128, precision=None, scheme='auto'):
     (single pass at that precision, lifting enabled).
     """
     scheme = _pick_scheme(scheme)
+    if precision is None and K.shape[0] > _ADAPTIVE_MAX:
+        precision = 'high'  # single pass + lift (see _ADAPTIVE_MAX)
     if scheme == 'rec':
         return _chol_factor_rec(K, None, None, block, b1, precision)
     if precision is not None:
@@ -595,6 +684,8 @@ def chol_factor_scaled(K, s, eps, block=512, b1=128, precision=None,
     as `chol_factor` otherwise; the fallback/lift pass recomputes the
     scaled Gershgorin bound it needs with one |K| matvec."""
     scheme = _pick_scheme(scheme)
+    if precision is None and K.shape[0] > _ADAPTIVE_MAX:
+        precision = 'high'  # single pass + lift (see _ADAPTIVE_MAX)
     if scheme == 'rec':
         return _chol_factor_rec(K, s, eps, block, b1, precision, heal)
     n = K.shape[0]

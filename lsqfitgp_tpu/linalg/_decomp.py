@@ -232,6 +232,12 @@ class Chol(Decomposition):
             # pass 'highest' to force single-pass f32-grade matmuls.
             # The diagonal scaling + eps are fused into the strip loads
             # (the scaled matrix is never materialized)
+            if escalate and n > _blocked._ADAPTIVE_MAX:
+                # the escalation lax.cond would double-buffer two full
+                # factorizations — beyond the memory policy size run a
+                # single lifted pass at the small eps; the degradation
+                # probes still flag heavy healing
+                escalate = False
             L, Dinv = _blocked.chol_factor_scaled(
                 K, s, eps, self._BLOCK, 128, precision,
                 'auto', not escalate)
