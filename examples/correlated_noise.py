@@ -1,0 +1,58 @@
+"""Correlated measurement noise via addcov — including the round-3
+`decomps` option: hand the GP a pre-factorized noise block so the
+solver reuses the user decomposition instead of refactorizing (the
+reference's _elements.py:409 contract). The evidence (marginal
+likelihood) identifies the true noise structure."""
+
+import numpy as np
+
+import lsqfitgp_tpu as lgp
+from lsqfitgp_tpu.linalg import Chol
+
+
+def main():
+    rng = np.random.default_rng(8)
+    n = 60
+    x = np.linspace(0, 5, n)
+
+    # AR(1)-correlated noise with known structure
+    rho, sig = 0.9, 0.15
+    E = sig ** 2 * rho ** np.abs(np.subtract.outer(np.arange(n),
+                                                   np.arange(n)))
+    L = np.linalg.cholesky(E)
+    truth = np.sin(1.5 * x)
+    y = truth + L @ rng.standard_normal(n)
+
+    def build(Ecov, **kw):
+        gp = lgp.GP(lgp.ExpQuad()).addx(x, 'f')
+        gp = gp.addcov(np.asarray(Ecov, np.float32), 'noise', **kw)
+        return gp.addtransf({'f': 1, 'noise': 1}, 'obs')
+
+    # model the noise as a separate zero-mean element with known cov,
+    # handing the solver a pre-factorized decomposition of the block
+    dec = Chol(np.asarray(E, np.float32))
+    gp = build(E, decomps=dec)
+    u = gp.predfromdata({'obs': y}, 'f')
+
+    # the same model without the user decomposition: identical posterior
+    u2 = build(E).predfromdata({'obs': y}, 'f')
+    assert np.allclose(np.asarray(u.mean), np.asarray(u2.mean),
+                       atol=1e-4)
+    print('decomps-provided and refactorized posteriors agree')
+
+    # the evidence prefers the true (correlated) noise model over a
+    # white-noise model of equal marginal variance
+    lml_corr = float(build(E).marginal_likelihood({'obs': y}))
+    lml_white = float(
+        build(sig ** 2 * np.eye(n)).marginal_likelihood({'obs': y}))
+    print(f'log evidence: correlated {lml_corr:.1f}, white {lml_white:.1f}')
+    assert lml_corr > lml_white + 5
+
+    rmse = float(np.sqrt(np.mean((np.asarray(u.mean) - truth) ** 2)))
+    print(f'posterior rmse: {rmse:.3f} (noise sd {sig})')
+    assert rmse < sig
+    return u
+
+
+if __name__ == '__main__':
+    main()

@@ -61,6 +61,23 @@ class StructuredArray:
     __slots__ = ('_fields', '_tails', '_shape')
 
     def __init__(self, fields, tails=None, shape=None):
+        if isinstance(fields, StructuredArray):
+            # copy-construction: share the (immutable) field storage
+            if tails is None:
+                tails = fields._tails
+            if shape is None:
+                shape = fields._shape
+            fields = fields._fields
+        elif isinstance(fields, numpy.ndarray):
+            # wrap a numpy structured array (reference _array.py:30 lets
+            # StructuredArray stand in for any structured ndarray)
+            if fields.dtype.names is None:
+                raise ValueError(
+                    'plain (unstructured) arrays cannot become a '
+                    'StructuredArray; use a structured dtype'
+                )
+            src = _from_numpy_structured(fields)
+            fields, tails, shape = src._fields, src._tails, src._shape
         if not fields:
             raise ValueError('StructuredArray needs at least one field')
         fields = dict(fields)

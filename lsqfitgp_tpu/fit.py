@@ -182,7 +182,10 @@ class empbayes_fit:
     ----------
     p : BufferDict of UArray
         Hyperparameter posterior (MAP with Laplace covariance).
-    pmean, pcov : flat posterior mean / covariance (stored space).
+    pmean : BufferDict of posterior means (``fit.pmean['key']`` applies
+        the key's transformation; flat stored-space vector is
+        ``fit.pmean.buf``). pcov : flat posterior covariance
+        (stored space).
     prior : the parsed hyperprior BufferDict.
     minresult : scipy OptimizeResult (scipy optimizer only).
     minargs : dict of arguments passed to the minimizer.
@@ -434,12 +437,26 @@ class empbayes_fit:
                         f'({self.itertimes[-1] * 1e3:.1f} ms)', 3)
 
             cb = callback
+
+            def _finite(v, g=None):
+                """Map non-finite objective values (overflowed kernels,
+                NaN factorizations at extreme trial points) to a large
+                finite value with zero gradient: scipy's line searches
+                then backtrack instead of compounding NaN steps into a
+                runaway iterate."""
+                if numpy.isfinite(v) and (
+                        g is None or numpy.all(numpy.isfinite(g))):
+                    return v if g is None else (v, g)
+                big = 1e30
+                return big if g is None else (big, numpy.zeros_like(g))
+
             if method == 'nograd':
                 def f(w):
                     counts['fun'] += 1
                     if self.phase_timer is not None:
                         self.phase_timer.begin()
-                    return float(timer['fun'].time(nll_c, jnp.asarray(w)))
+                    return _finite(
+                        float(timer['fun'].time(nll_c, jnp.asarray(w))))
                 res = scipy.optimize.minimize(
                     f, numpy.asarray(w0), method='Nelder-Mead',
                     callback=cb, **kw
@@ -451,7 +468,7 @@ class empbayes_fit:
                     if self.phase_timer is not None:
                         self.phase_timer.begin()
                     v, g = timer['fun'].time(value_and_grad, jnp.asarray(w))
-                    return float(v), numpy.asarray(g, float)
+                    return _finite(float(v), numpy.asarray(g, float))
                 scipy_method = kw.pop('method', 'BFGS')
                 res = scipy.optimize.minimize(
                     f, numpy.asarray(w0), jac=True, method=scipy_method,
@@ -460,7 +477,7 @@ class empbayes_fit:
             elif method == 'fisher':
                 def f(w):
                     v, g = value_and_grad(jnp.asarray(w))
-                    return float(v), numpy.asarray(g, float)
+                    return _finite(float(v), numpy.asarray(g, float))
                 use_fishvec = kw.pop('fishvec', nparam > 20)
                 if use_fishvec:
                     # Fisher-vector products: O(n²) memory per product
@@ -589,7 +606,10 @@ class empbayes_fit:
             jnp.where(fixmask, 0.0, wmin)
         )
         pcov = L @ cov_w @ L.T
-        self.pmean = pmean
+        # pmean mirrors the reference contract (_fit.py:359): a
+        # BufferDict of posterior means, so fit.pmean['key'] applies the
+        # key's transformation; the flat vector is pmean.buf
+        self.pmean = prior.replace_buf(pmean)
         self.pcov = pcov
         u = from_cov(pmean, pcov)
         self.p = prior.replace_buf(u)
@@ -669,7 +689,7 @@ class empbayes_fit:
         numpy.savez(
             path,
             layout=numpy.asarray(layout),
-            pmean=numpy.asarray(self.pmean),
+            pmean=numpy.asarray(self.pmean.buf),
             pcov=numpy.asarray(self.pcov),
             w=numpy.asarray(self.w),
         )

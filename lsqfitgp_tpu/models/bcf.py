@@ -296,7 +296,7 @@ class bcf:
         if hp == 'map':
             return self.fit.pmap
         if hp == 'sample':
-            buf = _sample(self.fit.pmean, self.fit.pcov, rng=rng)
+            buf = _sample(self.fit.pmean.buf, self.fit.pcov, rng=rng)
             return self.fit.prior.replace_buf(buf)
         raise KeyError(hp)
 

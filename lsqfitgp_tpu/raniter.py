@@ -71,11 +71,15 @@ def _flatten_meancov(mean, cov):
 
 
 def _coerce_key(key, rng):
-    """Accept a jax PRNG key, a plain int seed, or None (fresh)."""
+    """Accept a jax PRNG key, a plain int seed, or None (fresh).
+    ``rng`` may be a numpy Generator, an int seed, or None."""
     if key is None:
         import numpy
-        seed = (rng or numpy.random.default_rng()).integers(2 ** 31)
-        return jax.random.PRNGKey(int(seed))
+        if isinstance(rng, (int, numpy.integer)):
+            return jax.random.PRNGKey(int(rng))
+        if rng is None:
+            rng = numpy.random.default_rng()
+        return jax.random.PRNGKey(int(rng.integers(2 ** 31)))
     if isinstance(key, int):
         return jax.random.PRNGKey(key)
     return key

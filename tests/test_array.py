@@ -199,3 +199,30 @@ class TestNumpyInterop:
         t = self._mk(rng, 4)
         c = np.concatenate([s, t])
         assert c.shape == (7,)
+
+
+class TestCtorFromNumpy:
+    """StructuredArray() directly wrapping numpy structured arrays
+    (reference _array.py:30 usage pattern)."""
+
+    def test_wrap_numpy_structured(self):
+        import lsqfitgp_tpu as lgp
+        xy = np.empty((3, 4), dtype=[('x', float), ('y', float)])
+        xy['x'] = np.arange(3)[:, None]
+        xy['y'] = np.arange(4)[None, :]
+        sa = lgp.StructuredArray(xy)
+        assert sa.shape == (3, 4)
+        assert set(sa.dtype.names) == {'x', 'y'}
+        np.testing.assert_allclose(np.asarray(sa['x']), xy['x'])
+
+    def test_copy_construction(self):
+        import lsqfitgp_tpu as lgp
+        xy = np.zeros(5, dtype=[('t', float)])
+        sa = lgp.StructuredArray(xy)
+        sb = lgp.StructuredArray(sa)
+        assert sb.shape == sa.shape and sb.dtype == sa.dtype
+
+    def test_plain_array_rejected(self):
+        import lsqfitgp_tpu as lgp
+        with pytest.raises(ValueError):
+            lgp.StructuredArray(np.zeros((2, 3)))

@@ -8,7 +8,7 @@ import re
 import pytest
 
 ROOT = pathlib.Path(__file__).parent.parent
-DOCS = sorted(ROOT.glob('docs/*.md')) + [ROOT / 'README.md']
+DOCS = sorted(ROOT.glob('docs/**/*.md')) + [ROOT / 'README.md']
 
 _BLOCK = re.compile(r'```python\n(.*?)```', re.S)
 

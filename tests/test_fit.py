@@ -220,7 +220,21 @@ def test_fit_fisher_method_large_P(rng):
         minkw=dict(options=dict(maxiter=15)),
     )
     assert fit.pcov.shape == (25, 25)
-    assert np.all(np.isfinite(np.asarray(fit.pmean)))
+    assert np.all(np.isfinite(np.asarray(fit.pmean.buf)))
     # covariance must be PSD (fisher guarantees it)
     eigs = np.linalg.eigvalsh(np.asarray(fit.pcov, 'f8'))
     assert eigs.min() > -1e-6 * max(1, eigs.max())
+
+
+def test_raniter_int_seeds():
+    """rng= int seeds are honored and deterministic (0 was silently
+    ignored, nonzero crashed)."""
+    m, C = np.zeros(3), np.eye(3)
+    a = next(lgp.raniter(m, C, rng=1))
+    b = next(lgp.raniter(m, C, rng=1))
+    c = next(lgp.raniter(m, C, rng=2))
+    z = next(lgp.raniter(m, C, rng=0))
+    z2 = next(lgp.raniter(m, C, rng=0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2))

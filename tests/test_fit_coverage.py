@@ -45,7 +45,7 @@ def test_chisq_coverage(rng):
     estimated posterior should be chi-square distributed."""
     truth = np.array([np.log(2.0), 0.3])
     fit = make_fit(rng, *truth)
-    est = np.asarray(fit.pmean)
+    est = np.asarray(fit.pmean.buf)
     cov = np.asarray(fit.pcov)
     resid = est - truth
     q = float(resid @ np.linalg.solve(cov, resid))
@@ -100,7 +100,7 @@ def test_chisq_coverage_grid(rng, kernel, method, optimizer):
         raises=False,
     )
     truth = np.array([true_logscale, true_logamp])
-    est = np.asarray(fit.pmean)
+    est = np.asarray(fit.pmean.buf)
     cov = np.asarray(fit.pcov)
     resid = est - truth
     q = float(resid @ np.linalg.solve(cov, resid))
@@ -146,7 +146,7 @@ def test_save_load_roundtrip(tmp_path):
     assert 'layout' in dat and 'allow_pickle' not in dat.files
     state = lgp.empbayes_fit.load(path)
     np.testing.assert_allclose(np.asarray(state['pmean']),
-                               np.asarray(fit.pmean), rtol=1e-12)
+                               np.asarray(fit.pmean.buf), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(state['pcov']),
                                np.asarray(fit.pcov), rtol=1e-12)
     np.testing.assert_allclose(
