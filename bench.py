@@ -242,12 +242,13 @@ def gram_tiled_loop(n, dtype, p=8):
 
 
 def fit_iter_loop(n, dtype):
-    """One empbayes-style iteration: value+grad of the whitened NLL."""
+    """One empbayes-style iteration: value+grad of the NLL through the
+    fused reverse rule (linalg.chol_nll — what empbayes_fit runs)."""
     import functools
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from lsqfitgp_tpu.linalg import Chol
+    from lsqfitgp_tpu.linalg import chol_nll
     import lsqfitgp_tpu as lgp
 
     x, y = make_problem(n, dtype)
@@ -256,7 +257,7 @@ def fit_iter_loop(n, dtype):
         k = lgp.ExpQuad(scale=jnp.exp(w[0]))
         K = k.core(x[:, None], x[None, :]) \
             + jnp.exp(w[1]) * jnp.eye(n, dtype=dtype)
-        return Chol(K).minus_log_normal_density(y)
+        return chol_nll(K, y)
 
     vg = jax.value_and_grad(nll)
 

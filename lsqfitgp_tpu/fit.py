@@ -278,13 +278,30 @@ class empbayes_fit:
                         g, gcov = given, givencov
                     gp = gpfactory(hp, **gpfactorykw)
                 with jax.named_scope('empbayes_fit.decomp'):
-                    dec, r = gp._prior_decomp(g, gcov, **mlkw)
-                    if pt is not None:
-                        # mark on the factor itself: r is only the data
-                        # vector, not a factorization consumer
-                        dec._L = pt.mark(dec._L, 'gpbuild+decomp')
+                    # fused factorization+density (linalg.chol_nll)
+                    # when the model allows: the hand-derived reverse
+                    # rule makes value+grad ~4x the forward pass
+                    # instead of AD-through-the-factorization's ~10-16x
+                    parts = gp._prior_nll_parts(g, gcov, **mlkw)
+                    if parts is not None:
+                        K, r, nllkw = parts
+                        if pt is not None:
+                            # with the fused path the 'gpbuild+decomp'
+                            # span covers build+assembly and
+                            # 'likelihood' covers factorize+density
+                            K = pt.mark(K, 'gpbuild+decomp')
+                    else:
+                        dec, r = gp._prior_decomp(g, gcov, **mlkw)
+                        if pt is not None:
+                            # mark on the factor itself: r is only the
+                            # data vector, not a factorization consumer
+                            dec._L = pt.mark(dec._L, 'gpbuild+decomp')
                 with jax.named_scope('empbayes_fit.likelihood'):
-                    out = dec.minus_log_normal_density(r)
+                    from . import linalg as _linalg
+                    if parts is not None:
+                        out = _linalg.chol_nll(K, r, **nllkw)
+                    else:
+                        out = dec.minus_log_normal_density(r)
             with jax.named_scope('empbayes_fit.prior'):
                 wfree = jnp.where(fixmask, 0.0, w)
                 out = out + 0.5 * jnp.dot(wfree, wfree)

@@ -33,6 +33,7 @@ from jax import numpy as jnp
 
 from .. import _array, _config, _jaxutil
 from ..kernelalg import CrossKernel, Kernel, Zero
+from .. import linalg
 from ..linalg import Chol
 from .. import uncert
 
@@ -949,9 +950,41 @@ class GP:
     def marginal_likelihood(self, given, givencov=None):
         """Log marginal likelihood of the data under the prior
         (reference ``_compute.py:383``)."""
+        return -self._prior_nll(given, givencov)
+
+    def _prior_nll_parts(self, given, givencov=None, **decompkw):
+        """(K, residuals, choleskykw) for the fused NLL when the model
+        is eligible (plain 'chol' solver, no user-supplied addcov
+        decompositions), else None.  Split out so the fit driver can
+        insert phase-timing marks between assembly and factorization."""
         inkeys, ymean, ycov, _ = self._flatgiven(given, givencov)
-        solver = self._solver_for(inkeys, extracov=ycov)
-        return -solver.minus_log_normal_density(ymean)
+        if (
+            self._solver != 'chol'
+            or any(k in self._user_decomps for k in inkeys)
+        ):
+            return None
+        K = self._assemble(inkeys, inkeys)
+        if ycov is not None:
+            K = K + ycov
+        else:
+            self._checkpos(K)
+        return K, ymean, {**self._solverkw, **decompkw}
+
+    def _prior_nll(self, given, givencov=None, **decompkw):
+        """-log marginal density of the data; the fit objective.
+
+        On the plain 'chol' solver this routes through
+        :func:`linalg.chol_nll`, whose hand-derived reverse rule makes
+        ``jax.grad`` cost ~4x the forward pass instead of AD-through-
+        the-factorization's ~10-16x (reference gradrev counterpart:
+        ``_linalg/_decomp.py:441-586``)."""
+        parts = self._prior_nll_parts(given, givencov, **decompkw)
+        if parts is not None:
+            K, ymean, kw = parts
+            return linalg.chol_nll(K, ymean, **kw)
+        inkeys, ymean, ycov, _ = self._flatgiven(given, givencov)
+        solver = self._solver_for(inkeys, extracov=ycov, **decompkw)
+        return solver.minus_log_normal_density(ymean)
 
     def _prior_decomp(self, given, givencov=None, **decompkw):
         """(decomposition of the data covariance, residuals); used by the

@@ -423,6 +423,51 @@ def diag_block_inverses(L, block):
     )(D)
 
 
+def trtri_blocked(L, Dinv, block=512, precision=None):
+    """W = L⁻¹ of the blocked lower factor (dense lower-triangular
+    result), by recursive halving over the block grid:
+
+        W = [ W11        0   ]      W21 = -W22 (L21 W11)
+            [ W21       W22  ]
+
+    with the stored diagonal-block inverses ``Dinv`` as recursion
+    leaves, so every step is an MXU matmul and the program size is
+    O(kb log kb) like the factorization itself.  Total cost n³/3 MACs
+    — the classic triangular-inverse recursion (LAPACK ``trtri``),
+    written into a single zero-initialized buffer with
+    ``dynamic_update_slice`` so no per-level concat chain stays live.
+
+    Used by the fused marginal-likelihood reverse rule (the reference's
+    hand-derived gradrev, ``_linalg/_decomp.py:441-586``, needs
+    K⁻¹ = WᵀW explicitly).
+    """
+    precision = _precision(precision)
+    n = L.shape[0]
+    nb = -(-n // block)
+    npad = nb * block
+    Lp = _pad_spd(L, npad) if npad != n else L
+    if Dinv is None:
+        Dinv = diag_block_inverses(Lp, block)
+
+    def rec(W, o, kb):
+        if kb == 1:
+            return lax.dynamic_update_slice(W, Dinv[o // block], (o, o))
+        hb = (kb + 1) // 2
+        h = hb * block
+        w = (kb - hb) * block
+        W = rec(W, o, hb)
+        W = rec(W, o + h, kb - hb)
+        W11 = lax.dynamic_slice(W, (o, o), (h, h))
+        W22 = lax.dynamic_slice(W, (o + h, o + h), (w, w))
+        L21 = lax.dynamic_slice(Lp, (o + h, o), (w, h))
+        W21 = -jnp.dot(W22, jnp.dot(L21, W11, precision=precision),
+                       precision=precision)
+        return lax.dynamic_update_slice(W, W21, (o + h, o))
+
+    W = rec(jnp.zeros((npad, npad), L.dtype), 0, nb)
+    return W[:n, :n]
+
+
 def _solve_lower_scan(L, B, Dinv, block, precision):
     """X = L^{-1} B as a ``lax.scan`` over block rows: step k reads one
     (block, n) row strip of L (fused into the matmul), subtracts its

@@ -8,11 +8,13 @@ regularization semantics of :class:`Chol`) matches the reference
 re-designed for XLA/TPU:
 
 - Everything is a pytree of device arrays (crosses ``jit`` freely).
-- Gradients of the log-density flow through ``lax.linalg.cholesky``'s
-  native XLA differentiation rule instead of hand-written VJPs; the
-  Fisher matrix and Fisher-vector products use explicit batched
-  triangular solves (the hand-derived formulas of reference
-  ``_decomp.py:20-109``) because AD cannot produce them.
+- Gradients of the log-density: the fused :func:`chol_nll` carries the
+  reference's hand-derived reverse formulas (``_decomp.py:441-586``) as
+  a ``custom_jvp`` — value+grad ~4x the forward factorization; plain
+  AD through the factorization's tangent rule also works (the method
+  path) at ~10-16x.  The Fisher matrix and Fisher-vector products use
+  explicit batched triangular solves (the hand-derived formulas of
+  reference ``_decomp.py:20-109``) because AD cannot produce them.
 - There is no object-dtype (gvar) path: uncertainty propagation happens
   in :mod:`lsqfitgp_tpu.uncert` with dense Jacobians, which flow through
   the same device ops.
@@ -21,6 +23,7 @@ re-designed for XLA/TPU:
 from __future__ import annotations
 
 import abc
+import functools
 import math
 
 import jax
@@ -33,7 +36,7 @@ from . import _blocked
 from ._pytree import AutoPyTree
 from .._jaxutil import skipifabstract
 
-__all__ = ['Decomposition', 'Chol', 'solve_batched']
+__all__ = ['Decomposition', 'Chol', 'chol_nll', 'solve_batched']
 
 
 def _float_eps(dtype):
@@ -497,6 +500,61 @@ class Chol(Decomposition):
         M = self.ginv_linear(self.ginv_linear(dKv).T)
         M = 0.5 * (M + M.T)
         return 0.5 * M, self.ginv_linear(drv)
+
+
+def chol_nll(K, r, **choleskykw):
+    """Fused ``Chol(K, **kw).minus_log_normal_density(r)`` with the
+    hand-derived gradient of the reference (``_linalg/_decomp.py:441-586``
+    gradrev formulas) instead of AD through the factorization.
+
+    The derivative rule forms the K-cotangent carrier explicitly,
+
+        ∂V/∂K = ½ S (K_s⁻¹ − z̃ z̃') S,   z̃ = K_s⁻¹ S r,
+        ∂V/∂r = S z̃,
+
+    with ``K_s = S K S + eps·I = L L'`` the regularized scaled matrix
+    (``S``, ``eps`` held constant: ``S`` is pow2-quantized — locally
+    exactly constant — and the eps sensitivity is O(eps)).  ``K_s⁻¹`` is
+    one blocked triangular inverse (n³/3 MACs of MXU matmuls,
+    :func:`lsqfitgp_tpu.linalg._blocked.trtri_blocked`) plus one syrk —
+    so value+gradient costs ~4x the forward factorization, where AD
+    through the factorization's tangent rule pays two dense triangular
+    solves with n right-hand sides (~10-16x, measured at n=8192-16384).
+    Both AD modes work: the rule is linear in (dK, dr), so reverse mode
+    transposes it to scaling the stored carrier by the cotangent.
+    """
+    opts = tuple(sorted(choleskykw.items()))
+    return _chol_nll_cjvp(K, jnp.asarray(r), opts)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _chol_nll_cjvp(K, r, opts):
+    dec = Chol(K, **dict(opts))
+    return dec.minus_log_normal_density(r)
+
+
+@_chol_nll_cjvp.defjvp
+def _chol_nll_jvp(opts, primals, tangents):
+    K, r = primals
+    dK, dr = tangents
+    kw = dict(opts)
+    dec = Chol(K, **kw)
+    s = dec._s
+    val = dec.minus_log_normal_density(r)
+    z = dec.pinv_correlate(r)             # L⁻¹ S r (CSEd with val's)
+    zt = s * dec._solve_Lt(z)             # S K_s⁻¹ S r
+    precision = _blocked._precision(kw.get('precision'))
+    if dec._Dinv is not None:
+        W = _blocked.trtri_blocked(dec._L, dec._Dinv, dec._BLOCK,
+                                   precision)
+    else:
+        W = solve_triangular(
+            dec._L, jnp.eye(dec.n, dtype=K.dtype), lower=True)
+    Kinv_s = jnp.dot(W.T, W, precision=precision)
+    Kbar = 0.5 * (Kinv_s * (s[:, None] * s[None, :])
+                  - zt[:, None] * zt[None, :])
+    dval = jnp.vdot(Kbar, dK) + jnp.dot(zt, dr)
+    return val, dval
 
 
 def solve_batched_triangular(L, B):
