@@ -256,6 +256,69 @@ def _tree_assemble(tree, n, block):
     return place(L, tree, 0)[:n, :n]
 
 
+def _view_block(M, s, eps, base, r0, c0, h, w):
+    """Materialize one (h, w) block of the virtual matrix
+    ``diag(s) M diag(s) + eps I`` whose (0, 0) sits at global offset
+    ``base`` inside M; (r0, c0) are global coordinates."""
+    A = M[r0 - base:r0 - base + h, c0 - base:c0 - base + w]
+    if s is not None:
+        A = A * s[r0:r0 + h, None] * s[None, c0:c0 + w]
+    if eps is not None and r0 == c0:
+        A = A + eps * jnp.eye(h, w, dtype=A.dtype)
+    return A
+
+
+def _chol_rec_tree_pallas(M, s, eps, base, o, kb, block, b1, precision,
+                          bump, interpret=False):
+    """`_chol_rec_tree` with the Schur complement computed by the
+    Pallas lower-trapezoid syrk kernel (:mod:`lsqfitgp_tpu.ops._syrk`)
+    instead of a full-square ``jnp.dot(P, P.T)``.
+
+    The recursion only ever reads diagonal blocks and sub-diagonal
+    panels of each Schur complement, so computing just its i >= j tiles
+    is sound — and cuts the factorization's total MAC count from ~n³/4
+    (full-square trailing updates at every level) to the optimal n³/6.
+    The scaling/eps fusion of `_make_read` moves into the kernel's
+    k == 0 tile initialization; the strict-upper tiles of each S buffer
+    are uninitialized memory that no reader touches.
+
+    Requires M pre-padded to a block multiple (``s`` extended with
+    ones); TPU only.
+    """
+    if kb == 1:
+        D = _view_block(M, s, eps, base, o, o, block, block)
+        L, Linv = _factor_diag(D, b1, precision, bump)
+        return L, [Linv]
+    hb = (kb + 1) // 2
+    h = hb * block
+    w = (kb - hb) * block
+    t11, d1 = _chol_rec_tree_pallas(M, s, eps, base, o, hb, block, b1,
+                                    precision, bump, interpret)
+    A21 = _view_block(M, s, None, base, o + h, o, w, h)
+    P = _tree_solve_right_t(A21, t11, d1, block, precision)
+    if w < 4096 and interpret is False:
+        # small trailing blocks: the full-square update wastes ~3% of
+        # the total MACs at n=16384, and keeping every Pallas output
+        # >= 64 MB (far above VMEM) avoids XLA stack-placing the
+        # custom-call buffers in scoped vmem (observed: a (2048, 2048)
+        # output inside a cond branch scoped-allocated at 20.2M > 16M)
+        S = _view_block(M, s, eps, base, o + h, o + h, w, w) \
+            - jnp.dot(P, P.T, precision=precision)
+    else:
+        from ..ops import _syrk
+        S = _syrk.schur_update(
+            M, P, s=s, eps=eps, size=w, offset=o + h - base, tile=block,
+            precision=precision, interpret=interpret)
+    t22, d2 = _chol_rec_tree_pallas(S, None, None, o + h, o + h,
+                                    kb - hb, block, b1, precision, bump,
+                                    interpret)
+    return (P, t11, t22), d1 + d2
+
+
+def _use_pallas_syrk(block):
+    return jax.default_backend() == 'tpu' and block % 128 == 0
+
+
 def _chol_tree_impl(K, s, eps, block, b1, prec, lift):
     """(tree, [Dinv list]) of diag(s) K diag(s) + eps I (``s``/``eps``
     None to skip), scaling/eps/padding fused into the first-touch reads."""
@@ -270,6 +333,15 @@ def _chol_tree_impl(K, s, eps, block, b1, prec, lift):
         else:
             bump = _LIFT * jnp.finfo(K.dtype).eps \
                 * jnp.max(s * (jnp.abs(K) @ s))
+    if _use_pallas_syrk(block):
+        npad = nb * block
+        Kp = _pad_spd(K, npad)
+        sp = s
+        if s is not None and npad != n:
+            sp = jnp.concatenate(
+                [s, jnp.ones(npad - n, K.dtype)])
+        return _chol_rec_tree_pallas(Kp, sp, eps, 0, 0, nb, block, b1,
+                                     precision_, bump)
     read = _make_read(K, s, eps, n)
     return _chol_rec_tree(read, 0, nb, block, b1, precision_, bump)
 

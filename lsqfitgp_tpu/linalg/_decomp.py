@@ -547,10 +547,14 @@ def _chol_nll_jvp(opts, primals, tangents):
     if dec._Dinv is not None:
         W = _blocked.trtri_blocked(dec._L, dec._Dinv, dec._BLOCK,
                                    precision)
+        from ..ops import syrk_t_full
+        # lower-tile-only Pallas syrk (half the MACs of the full
+        # square; plain dot on non-TPU backends)
+        Kinv_s = syrk_t_full(W, tile=dec._BLOCK, precision=precision)
     else:
         W = solve_triangular(
             dec._L, jnp.eye(dec.n, dtype=K.dtype), lower=True)
-    Kinv_s = jnp.dot(W.T, W, precision=precision)
+        Kinv_s = jnp.dot(W.T, W, precision=precision)
     Kbar = 0.5 * (Kinv_s * (s[:, None] * s[None, :])
                   - zt[:, None] * zt[None, :])
     dval = jnp.vdot(Kbar, dK) + jnp.dot(zt, dr)

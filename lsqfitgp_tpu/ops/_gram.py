@@ -72,8 +72,11 @@ def _gram_kernel(x_ref, y_ref, xn_ref, yn_ref, p_ref, o_ref, *,
     xt = x_ref[...]               # (T, p)
     yt = y_ref[...]               # (T, p)
     # MXU cross term + precomputed squared norms; HIGHEST precision
-    # forces the 3-pass bf16 decomposition (single-pass bf16 loses ~3
-    # decimal digits on r², visible in the kernel values)
+    # forces the 6-pass bf16 decomposition (a 3-pass split leaves
+    # ~2^-18 relative error on r², 64x above f32 noise — measured
+    # 7e-5 absolute on unit-scale inputs, outside the library's gram
+    # accuracy contract; the profile evaluation dominates the kernel
+    # anyway for cheap profiles)
     cross = jax.lax.dot_general(
         xt, yt.T, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -146,8 +149,8 @@ def _gram_sym_kernel(ij_ref, x_ref, y_ref, xn_ref, yn_ref, p_ref,
     """Upper-triangle program: like _gram_kernel but the (i, j) tile
     coordinates come from a prefetched index list covering i <= j."""
     k = pl.program_id(0)
-    i = ij_ref[k, 0]
-    j = ij_ref[k, 1]
+    i = ij_ref[0, k]
+    j = ij_ref[1, k]
     xt = x_ref[...]
     yt = y_ref[...]
     cross = jax.lax.dot_general(
@@ -183,23 +186,24 @@ def _gram_sym_raw(profile, xp, xn, pvec, *, with_noise, tile,
     dtype = xp.dtype
     ij = numpy.array(
         [(i, j) for i in range(nt) for j in range(i, nt)], numpy.int32
-    )
+    ).T.copy()  # (2, npairs): SMEM pads each ROW to 128 lanes, so the
+    # transposed layout keeps big tile lists within the 1 MB SMEM
     kernel = functools.partial(
         _gram_sym_kernel, profile=profile, nparams=nparams,
         with_noise=with_noise, tile=tile,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(len(ij),),
+        grid=(ij.shape[1],),
         in_specs=[
-            pl.BlockSpec((tile, p), lambda k, ij: (ij[k, 0], 0)),
-            pl.BlockSpec((tile, p), lambda k, ij: (ij[k, 1], 0)),
-            pl.BlockSpec((tile, 1), lambda k, ij: (ij[k, 0], 0)),
-            pl.BlockSpec((tile, 1), lambda k, ij: (ij[k, 1], 0)),
+            pl.BlockSpec((tile, p), lambda k, ij: (ij[0, k], 0)),
+            pl.BlockSpec((tile, p), lambda k, ij: (ij[1, k], 0)),
+            pl.BlockSpec((tile, 1), lambda k, ij: (ij[0, k], 0)),
+            pl.BlockSpec((tile, 1), lambda k, ij: (ij[1, k], 0)),
             pl.BlockSpec((pvec.shape[0], 1), lambda k, ij: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (tile, tile), lambda k, ij: (ij[k, 0], ij[k, 1])
+            (tile, tile), lambda k, ij: (ij[0, k], ij[1, k])
         ),
     )
     out = pl.pallas_call(

@@ -1,0 +1,107 @@
+"""Pallas lower-trapezoid syrk kernels: emulated-kernel parity with the
+plain jnp formulas (the real Mosaic compilation is exercised on TPU
+runs; interpret mode emulates the same grid/index logic)."""
+
+import jax
+import numpy as np
+import pytest
+from jax import numpy as jnp
+
+from lsqfitgp_tpu.ops import schur_update, syrk_t_full
+
+
+def _ref_schur(B, A, s, eps, size, offset, tile):
+    S = -np.asarray(A, np.float64) @ np.asarray(A, np.float64).T
+    if B is not None:
+        Bs = np.asarray(B, np.float64)[
+            offset:offset + size, offset:offset + size]
+        if s is not None:
+            sl = np.asarray(s, np.float64)[offset:offset + size]
+            Bs = Bs * sl[:, None] * sl[None, :]
+        S = S + Bs
+    if eps is not None:
+        S = S + float(eps) * np.eye(size)
+    nt = size // tile
+    keep = np.tril(np.ones((nt, nt), bool)) \
+        .repeat(tile, 0).repeat(tile, 1)
+    return np.where(keep, S, 0.0)
+
+
+@pytest.mark.parametrize('with_b', [True, False])
+@pytest.mark.parametrize('with_s', [True, False])
+@pytest.mark.parametrize('with_eps', [True, False])
+@pytest.mark.parametrize('offset', [0, 128])
+def test_schur_update(rng, with_b, with_s, with_eps, offset):
+    tile = 128
+    size = 384
+    mb = offset + size
+    h = 256
+    A = jnp.asarray(rng.standard_normal((size, h)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((mb, mb)), jnp.float32) \
+        if with_b else None
+    s = jnp.asarray(rng.uniform(0.5, 2.0, mb), jnp.float32) \
+        if with_s else None
+    eps = jnp.float32(0.25) if with_eps else None
+    if B is None and offset:
+        pytest.skip('offset without B exercises nothing new')
+    got = schur_update(B, A, s=s, eps=eps, size=size, offset=offset,
+                       tile=tile, kchunk=128, precision='highest',
+                       interpret='pallas')
+    ref = _ref_schur(B, A, s, eps, size, offset, tile)
+    # only the i >= j tiles are defined (the upper ones are
+    # uninitialized memory by contract)
+    nt = size // tile
+    keep = np.tril(np.ones((nt, nt), bool)) \
+        .repeat(tile, 0).repeat(tile, 1)
+    np.testing.assert_allclose(np.asarray(got)[keep], ref[keep],
+                               rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize('n', [128, 384, 300])
+def test_syrk_t_full(rng, n):
+    W = jnp.asarray(
+        np.tril(rng.standard_normal((n, n))), jnp.float32)
+    got = syrk_t_full(W, tile=128, kchunk=128, precision='highest',
+                      interpret='pallas')
+    ref = np.asarray(W, np.float64).T @ np.asarray(W, np.float64)
+    np.testing.assert_allclose(np.asarray(got), ref,
+                               rtol=2e-5, atol=2e-4)
+    # symmetric by construction
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got).T)
+
+
+def test_chol_rec_pallas_matches_plain(rng):
+    """The emulated-Pallas recursive factorization agrees with the
+    plain recursive scheme (same L up to roundoff) including scaling,
+    eps, and a non-block-multiple size."""
+    from lsqfitgp_tpu.linalg import _blocked
+
+    n = 300
+    block = 128
+    x = np.linspace(0, 5, n)
+    K = jnp.asarray(
+        np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2)
+        + 0.1 * np.eye(n), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    eps = jnp.float32(1e-3)
+
+    prec = _blocked._precision('highest')
+    nb = -(-n // block)
+    npad = nb * block
+    Kp = _blocked._pad_spd(K, npad)
+    sp = jnp.concatenate([s, jnp.ones(npad - n, K.dtype)])
+    tree, dinvs = _blocked._chol_rec_tree_pallas(
+        Kp, sp, eps, 0, 0, nb, block, 128, prec, None,
+        interpret='pallas')
+    L = _blocked._tree_assemble(tree, n, block)
+
+    read = _blocked._make_read(K, s, eps, n)
+    tree2, dinvs2 = _blocked._chol_rec_tree(
+        read, 0, nb, block, 128, prec, None)
+    L2 = _blocked._tree_assemble(tree2, n, block)
+
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(dinvs)), np.asarray(jnp.stack(dinvs2)),
+        rtol=1e-3, atol=1e-4)
