@@ -105,7 +105,7 @@ def main():
         makegp,
         lambda hp: (given, cov),
         raises=False,
-        minkw={'maxiter': 25},
+        minkw={'options': {'maxiter': 30}},
     )
     print('fitted hyperparameters vs truth:')
     for k in ('amp', 'scale'):

@@ -442,6 +442,16 @@ def asarray(x, dtype=None):
             x_np = probe
     if x_np is not None and _is_structured_dtype(x_np.dtype):
         return _from_numpy_structured(x_np)
+    if dtype is None:
+        probe = x_np if x_np is not None else (
+            x if isinstance(x, numpy.ndarray) else None)
+        if probe is None and isinstance(x, (list, tuple, str, bytes,
+                                            numpy.str_, numpy.bytes_)):
+            probe = numpy.asarray(x)
+        if probe is not None and probe.dtype.kind in 'USO':
+            # strings/objects are host data (e.g. text kernels like
+            # BagOfWords): never coerce them to device arrays
+            return probe
     return jnp.asarray(x, dtype=dtype)
 
 
@@ -474,6 +484,9 @@ def broadcast_shapes(*shapes):
 def broadcast_to(x, shape):
     if isinstance(x, StructuredArray):
         return x.broadcast_to(shape)
+    if isinstance(x, numpy.ndarray) and x.dtype.kind in 'USO':
+        # strings/objects are host data (text kernels): numpy broadcast
+        return numpy.broadcast_to(x, shape)
     return jnp.broadcast_to(x, shape)
 
 

@@ -315,7 +315,11 @@ class GP:
             new._checkelkey(k)
             xk = _array.asarray(xk)
             if not isinstance(xk, _array.StructuredArray):
-                xk = jnp.asarray(xk)
+                if getattr(xk, 'dtype', None) is not None \
+                        and xk.dtype.kind not in 'USO':
+                    # strings/objects stay host-side numpy (text
+                    # kernels like BagOfWords); numeric goes on device
+                    xk = jnp.asarray(xk)
                 if not deriv.implicit:
                     raise ValueError(
                         'named derivative with non-structured x'
@@ -327,7 +331,8 @@ class GP:
                             f'derivative along missing field {dim!r}'
                         )
             if self._checks['finite'] and not isinstance(
-                    xk, _array.StructuredArray):
+                    xk, _array.StructuredArray) \
+                    and xk.dtype.kind not in 'USO':
                 def check(xk=xk):
                     assert jnp.all(jnp.isfinite(xk)), 'non-finite x'
                 _jaxutil.skipifabstract(check)

@@ -146,7 +146,11 @@ def Expon(delta):
     return jnp.exp(-delta)
 
 
-_bow_regexp = re.compile(r'\s|[!«»"“”‘’/()\'?¡¿„‚<>,;.:-–—]')
+# word separators: whitespace + punctuation.  The hyphen goes LAST in
+# the class — written mid-class after ':' it formed the range
+# U+003A..U+2013, which swallows every ASCII letter and made the split
+# cut on all characters (all bags empty, K identically zero)
+_bow_regexp = re.compile(r'\s|[!«»"“”‘’/()\'?¡¿„‚<>,;.:–—-]')
 
 
 @kernel(derivable=False, maxdim=1)
@@ -160,7 +164,8 @@ def BagOfWords(x, y):
     xbag[''] = 0
     ybag[''] = 0
     common = set(xbag) & set(ybag)
-    return sum(xbag[k] * ybag[k] for k in common)
+    # float, not int: the Gram matrix feeds the float solvers
+    return float(sum(xbag[k] * ybag[k] for k in common))
 
 
 @stationarykernel(derivable=False, input='abs', maxdim=1)

@@ -34,6 +34,42 @@ def _flatten_meancov(mean, cov):
         return u.mean, u.cov(), unpack
     if isinstance(mean, dict):
         keys = list(mean)
+        if cov is None and any(
+                isinstance(mean[k], UArray) for k in keys):
+            # dict of correlated UArrays (what GP.pred returns): the
+            # joint covariance lives in the shared primary blocks, so
+            # assemble it with evalcov over all key pairs (plain
+            # entries are treated as exact constants)
+            from .uncert import evalcov
+            uas = [mean[k] if isinstance(mean[k], UArray)
+                   else UArray(jnp.asarray(mean[k], float))
+                   for k in keys]
+            shapes = [u.shape for u in uas]
+            sizes = [u.size for u in uas]
+            m = jnp.concatenate([u.mean.reshape(-1) for u in uas])
+            offs = [0]
+            for s in sizes:
+                offs.append(offs[-1] + s)
+            C = jnp.zeros((m.size, m.size))
+            for i, ua in enumerate(uas):
+                for j, ub in enumerate(uas):
+                    if j > i:
+                        continue
+                    blk = evalcov(ua, ub).reshape(sizes[i], sizes[j])
+                    C = C.at[offs[i]:offs[i+1], offs[j]:offs[j+1]] \
+                        .set(blk)
+                    if j < i:
+                        C = C.at[offs[j]:offs[j+1], offs[i]:offs[i+1]] \
+                            .set(blk.T)
+
+            def unpack(v):
+                out = {}
+                for k, s, o0, o1 in zip(keys, shapes, offs[:-1],
+                                        offs[1:]):
+                    out[k] = v[o0:o1].reshape(s)
+                return out
+
+            return m, C, unpack
         shapes = [jnp.shape(mean[k]) for k in keys]
         sizes = [int(jnp.size(mean[k])) for k in keys]
         m = jnp.concatenate([

@@ -178,3 +178,28 @@ def test_derivatives_of_smooth_kernels(rng):
         eigs = np.linalg.eigvalsh(K.astype('f8'))
         lim2 = 1e-7 if not is_f32() else 1e-4
         assert eigs.min() > -lim2 * max(1.0, eigs.max())
+
+
+def test_bagofwords_strings():
+    """BagOfWords on real string input, end to end through the GP
+    (regression: the word-separator character class contained an
+    accidental ':'..'–' range that swallowed every letter, splitting
+    each string into characters and yielding an identically-zero Gram;
+    also exercises host-side string arrays through addx/asarray)."""
+    import lsqfitgp_tpu as lgp
+    texts = np.array(['hello world', 'world of words', 'hello'])
+    k = lgp.BagOfWords()
+    K = np.asarray(k(texts[:, None], texts[None, :]), float)
+    # counts: {hello,world} / {world,of,words} / {hello}
+    expected = np.array([
+        [2.0, 1.0, 1.0],
+        [1.0, 3.0, 0.0],
+        [1.0, 0.0, 1.0],
+    ])
+    np.testing.assert_array_equal(K, expected)
+    gp = lgp.GP(lgp.BagOfWords()).addx(texts, 't')
+    np.testing.assert_array_equal(
+        np.asarray(gp.prior('t', raw=True), float), expected)
+    post = gp.predfromdata({'t': [1.0, 0.5, 0.2]}, ['t'])
+    np.testing.assert_allclose(
+        np.asarray(post['t'].mean), [1.0, 0.5, 0.2], atol=1e-4)

@@ -238,3 +238,29 @@ def test_raniter_int_seeds():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
     np.testing.assert_allclose(np.asarray(z), np.asarray(z2))
+
+
+def test_raniter_dict_of_uarrays(rng):
+    """raniter on a dict of correlated UArrays (the output of GP.pred)
+    must sample from the JOINT distribution: cross-key correlations
+    preserved, and no elementwise coercion blow-up (the old dict branch
+    iterated jnp.asarray over each UArray and ignored correlations)."""
+    xd = np.linspace(0, 1, 4)
+    xg = np.linspace(0, 1, 7)
+    gp = (
+        lgp.GP(lgp.ExpQuad(scale=0.5))
+        .addx(xd, 'd').addx(xg, 'a').addx(xg + 0.005, 'b')
+    )
+    y = np.sin(3 * xd)
+    post = gp.predfromdata(
+        {'d': y}, ['a', 'b'], {('d', 'd'): 0.04 * np.eye(xd.size)})
+    assert isinstance(post, dict)
+    samples = [next(lgp.raniter(post, rng=int(s))) for s in range(60)]
+    A = np.stack([np.asarray(s['a']) for s in samples])
+    B = np.stack([np.asarray(s['b']) for s in samples])
+    # 'b' points sit 0.005 away from 'a' points: joint samples must be
+    # almost perfectly correlated pointwise (would be ~uncorrelated if
+    # the cross-covariance were dropped), and the posterior has real
+    # spread because the data are noisy
+    assert np.all(np.std(A, axis=0) > 0.02)
+    assert np.all(np.std(A - B, axis=0) < 0.1 * np.std(A, axis=0))
