@@ -10,7 +10,7 @@ re-designed for XLA/TPU:
 - Everything is a pytree of device arrays (crosses ``jit`` freely).
 - Gradients of the log-density: the fused :func:`chol_nll` carries the
   reference's hand-derived reverse formulas (``_decomp.py:441-586``) as
-  a ``custom_jvp`` — value+grad ~4x the forward factorization; plain
+  a ``custom_jvp`` — value+grad ~2x the forward pass; plain
   AD through the factorization's tangent rule also works (the method
   path) at ~10-16x.  The Fisher matrix and Fisher-vector products use
   explicit batched triangular solves (the hand-derived formulas of
@@ -517,9 +517,11 @@ def chol_nll(K, r, **choleskykw):
     exactly constant — and the eps sensitivity is O(eps)).  ``K_s⁻¹`` is
     one blocked triangular inverse (n³/3 MACs of MXU matmuls,
     :func:`lsqfitgp_tpu.linalg._blocked.trtri_blocked`) plus one syrk —
-    so value+gradient costs ~4x the forward factorization, where AD
-    through the factorization's tangent rule pays two dense triangular
-    solves with n right-hand sides (~10-16x, measured at n=8192-16384).
+    so value+gradient costs ~2x the forward pass (measured 2.1x at
+    n=8192 on v5e with the Pallas triangular-skip WᵀW,
+    :func:`lsqfitgp_tpu.ops.syrk_t_full`), where AD through the
+    factorization's tangent rule pays two dense triangular solves with
+    n right-hand sides (~10-16x, measured at n=8192-16384).
     Both AD modes work: the rule is linear in (dK, dr), so reverse mode
     transposes it to scaling the stored carrier by the cotangent.
     """
