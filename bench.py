@@ -4,12 +4,16 @@ regularized Cholesky + solve) throughput.
 Metric (per BASELINE.json): Cholesky+solve TFLOP/s at large N.
 
 - headline: this framework on the default backend (TPU, fp32) at
-  N=16384 — measured first so a tight time budget still produces it;
-- ladder extras (stderr): chol+solve at N=4096/8192, Gram assembly,
-  and one empbayes-style fit iteration (value+grad of the NLL), each
-  skipped if the elapsed budget is exhausted (cold XLA compiles at
-  these sizes cost minutes; the persistent compile cache under
-  .jax_cache makes repeat runs fast);
+  N=32768 — the largest single-chip size (4 GB Gram), measured first
+  so a tight time budget still produces it (per BASELINE.json the
+  metric is "Cholesky+solve TFLOP/s at N=4k-64k"; the round-3
+  recursive+Pallas factorization made 32768 compile in seconds where
+  the round-2 program was uncompilable);
+- ladder extras (stderr): chol+solve at N=4096/8192/16384, Gram
+  assembly, and one empbayes-style fit iteration (value+grad of the
+  NLL), each skipped if the elapsed budget is exhausted (cold XLA
+  compiles at these sizes cost minutes; the persistent compile cache
+  under .jax_cache makes repeat runs fast);
 - baseline: the reference-equivalent pipeline — lsqfitgp is a pure
   jax-CPU/float64 library, so the baseline is the same computation run
   on CPU in float64 (measured in a subprocess at N=4096 and scaled by
@@ -295,12 +299,17 @@ def main():
 
     backend = jax.default_backend()
     dtype = jnp.float32
-    nhead = 16384 if backend != 'cpu' else 2048
 
     # headline first: chol+solve at the largest single-chip size
     t0 = time.perf_counter()
-    loop, args = chol_loop(nhead, dtype)
-    t_head = _scan_time(loop, args)
+    if backend != 'cpu':
+        nhead = 32768
+        fn, args = chol_direct(nhead, dtype)
+        t_head = _direct_time(fn, args)
+    else:
+        nhead = 2048
+        loop, args = chol_loop(nhead, dtype)
+        t_head = _scan_time(loop, args)
     tflops = pipeline_flops(nhead) / t_head / 1e12
     _log(f'[bench] chol+solve n={nhead}: {t_head * 1e3:.2f} ms, '
          f'{tflops:.2f} TFLOP/s '
@@ -309,8 +318,7 @@ def main():
     # ladder extras, each guarded by the time budget
     extras = {}
     for name, maker, sizes in (
-        ('chol', chol_loop, (4096, 8192)),
-        ('chol_direct', chol_direct, (32768,)),
+        ('chol', chol_loop, (4096, 8192, 16384)),
         ('gram', gram_loop, (4096, 8192, 16384)),
         ('gram_tiled_p8', gram_tiled_loop, (8192,)),
         ('gp_gram_tiled_p8',

@@ -625,15 +625,21 @@ class GP:
             return None  # let the broadcast path raise the guard error
         na, nb = _size(ea.shape), _size(eb.shape)
         if mode == 'auto':
-            # measured on v5e (n=4096-8192, NLL pipeline in situ): the
-            # XLA broadcast is already fully fused for 1-D inputs
-            # (tiled 0.8x); the MXU r² pays off from ~8 coordinate
-            # columns (1.1-1.3x) and grows with p.  'auto' is therefore
-            # conservative; force gram='tiled' for expensive profiles.
+            # measured on v5e (n=8192, f32, in-situ through the GP,
+            # round 3): the XLA broadcast stays fully fused and runs at
+            # the profile-evaluation floor up to ~p=8 (0.5-1.0 ms vs
+            # tiled 0.9-1.2 ms), because the kernel's r² cross term
+            # pays a K=p-padded-to-128 MXU matmul at HIGHEST precision.
+            # The broadcast's per-column VPU cost (~3 ops/entry/column)
+            # overtakes that fixed cost around p ≈ 16-20; 'auto' is
+            # conservative at 16.  Force gram='tiled' below that when
+            # the profile itself is expensive (the broadcast and the
+            # kernel pay it equally, but the tiled path never
+            # materializes the (n, m, p) difference tensor).
             import jax as _jax
             if _jax.default_backend() != 'tpu':
                 return None
-            if p < 8 or na * nb < (1 << 20):
+            if p < 16 or na * nb < (1 << 20):
                 return None
         from .. import ops
         profile, params = fg.build_profile(spec)

@@ -241,9 +241,22 @@ class Chol(Decomposition):
                 # single lifted pass at the small eps; the degradation
                 # probes still flag heavy healing
                 escalate = False
-            L, Dinv = _blocked.chol_factor_scaled(
-                K, s, eps, self._BLOCK, 128, precision,
-                'auto', not escalate)
+            scheme = _blocked._pick_scheme('auto')
+            if escalate and precision is None and scheme == 'rec':
+                # single-cond three-rung ladder (high/eps →
+                # highest/eps → highest/eps2+lift); the rare rungs are
+                # nested inside the fallback branch, so the well-posed
+                # common case pays ONE cond instead of the two stacked
+                # ones (each measured ~3 ms of branch-buffer traffic
+                # at n=16384)
+                L, Dinv, eps, escalated = \
+                    _blocked.chol_factor_scaled_ladder(
+                        K, s, eps, eps2, self._BLOCK, 128)
+                escalate = False  # ladder already applied eps2
+            else:
+                L, Dinv = _blocked.chol_factor_scaled(
+                    K, s, eps, self._BLOCK, 128, precision,
+                    'auto', not escalate)
             if escalate:
                 # heal=False above: a singular matrix comes back
                 # non-finite from the tiny-eps rung (instead of being
