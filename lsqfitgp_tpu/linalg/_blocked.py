@@ -309,6 +309,12 @@ def _chol_rec_tree_pallas(M, s, eps, base, o, kb, block, b1, precision,
             - jnp.dot(P, P.T, precision=precision)
     else:
         from ..ops import _syrk
+        # rows=1, kchunk=512 measured best at w=h=8192 on v5e: 51.8
+        # TFLOP/s vs 48.8 for (rows=2, kchunk=256) macro-tiles — the
+        # single-tile kernel already overlaps DMA with the bf16_3x
+        # dots well enough that the higher arithmetic intensity of
+        # macro-tiles doesn't pay for the halved k-chunks, and
+        # (rows=2, kchunk=512) exceeds the 16M VMEM budget
         S = _syrk.schur_update(
             M, P, s=s, eps=eps, size=w, offset=o + h - base, tile=block,
             precision=precision, interpret=interpret)

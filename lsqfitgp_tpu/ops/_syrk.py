@@ -61,7 +61,7 @@ def _dot_prec(a, b, dnums, precision, out_dtype):
 
 
 def _schur_kernel(ijk_ref, b_ref, sr_ref, sc_ref, e_ref, ai_ref,
-                  aj_ref, o_ref, *, precision, tile, with_b,
+                  aj_ref, o_ref, *, precision, tile, rtile, with_b,
                   with_scale, with_eps):
     p = pl.program_id(0)
 
@@ -76,9 +76,9 @@ def _schur_kernel(ijk_ref, b_ref, sr_ref, sc_ref, e_ref, ai_ref,
         if with_eps:
             i = ijk_ref[0, p]
             j = ijk_ref[1, p]
-            rows = lax.broadcasted_iota(jnp.int32, (tile, tile), 0) \
-                + i * tile
-            cols = lax.broadcasted_iota(jnp.int32, (tile, tile), 1) \
+            rows = lax.broadcasted_iota(jnp.int32, (rtile, tile), 0) \
+                + i * rtile
+            cols = lax.broadcasted_iota(jnp.int32, (rtile, tile), 1) \
                 + j * tile
             t = jnp.where(rows == cols, t + e_ref[0, 0], t)
         o_ref[...] = t
@@ -101,7 +101,8 @@ def _as_precision(precision):
 
 
 def schur_update(B, A, *, s=None, eps=None, size=None, offset=0,
-                 tile=512, kchunk=512, precision=None, interpret=None):
+                 tile=512, kchunk=512, rows=1, precision=None,
+                 interpret=None):
     """Lower-trapezoid tiles of ``S = diag(s) B diag(s) + eps I − A Aᵀ``
     where B is the ``(size, size)`` sub-square of a larger array at
     ``(offset, offset)`` — the view is taken through the kernel's index
@@ -118,6 +119,14 @@ def schur_update(B, A, *, s=None, eps=None, size=None, offset=0,
     split holds 4 bf16 chunk copies + 3 f32 partials in VMEM, and a
     1024-wide chunk put the kernel's scoped working set at 20.2M > the
     16M VMEM budget (compile-time OOM on v5e).
+
+    ``rows`` (1 or 2): output macro-tile height in units of ``tile``.
+    ``rows=2`` raises the kernel's arithmetic intensity from tile·3/8 =
+    192 to 256 MACs/byte (past the v5e compute/DMA balance of ~240),
+    at the cost of computing the tiles just above the diagonal inside
+    each macro-row (~3% extra MACs); requires size and offset to be
+    multiples of ``rows * tile`` and is paired with a smaller kchunk
+    to stay inside VMEM.
 
     Returns (size, size) with only the i >= j tiles written; the strict
     upper tiles are uninitialized memory — callers must never read them.
@@ -153,56 +162,69 @@ def schur_update(B, A, *, s=None, eps=None, size=None, offset=0,
     if h % kchunk:
         kchunk = tile
     assert h % kchunk == 0, (h, kchunk, tile)
+    rtile = rows * tile
+    assert size % rtile == 0 and offset % rtile == 0, \
+        (size, offset, rtile)
+    nrt = size // rtile
     nk = h // kchunk
     ijk = []
-    for j in range(nt):
-        for i in range(j, nt):
+    for i2 in range(nrt):
+        for j in range(nt):
+            # include the macro-row pair iff it contains any i >= j
+            # tile (the partial tiles just above the diagonal are
+            # computed — they are valid values, just never read)
+            if j > rows * i2 + rows - 1:
+                continue
             for k in range(nk):
-                ijk.append((i, j, k, 1 if k == 0 else 0))
+                ijk.append((i2, j, k, 1 if k == 0 else 0))
     ijk = numpy.array(ijk, numpy.int32).T.copy()
     with_b = B is not None
     with_scale = s is not None
     if not with_b:
-        B = jnp.zeros((tile, tile), dtype)  # dummy, never varies
+        B = jnp.zeros((rtile, tile), dtype)  # dummy, never varies
         bot = 0
     else:
         bot = ot
     if s is None:
-        sv = jnp.ones((tile, 1), dtype)  # dummy, never varies
+        sv = jnp.ones((rtile, 1), dtype)  # dummy, never varies
         sot = 0
     else:
         sv = jnp.asarray(s, dtype).reshape(-1, 1)
         sot = ot
+    # row-axis offsets are in rtile units, column-axis in tile units
+    bot2 = offset // rtile if with_b else 0
+    sot2 = offset // rtile if s is not None else 0
     ev = jnp.asarray(0.0 if eps is None else eps, dtype).reshape(1, 1)
 
     kernel = functools.partial(
         _schur_kernel, precision=_as_precision(precision), tile=tile,
-        with_b=with_b, with_scale=with_scale, with_eps=eps is not None,
+        rtile=rtile, with_b=with_b, with_scale=with_scale,
+        with_eps=eps is not None,
     )
     from jax.experimental.pallas import tpu as pltpu
     if with_b:
         b_spec = pl.BlockSpec(
-            (tile, tile),
-            lambda p, ijk: (bot + ijk[0, p], bot + ijk[1, p]))
+            (rtile, tile),
+            lambda p, ijk: (bot2 + ijk[0, p], bot + ijk[1, p]))
     else:
-        b_spec = pl.BlockSpec((tile, tile), lambda p, ijk: (0, 0))
+        b_spec = pl.BlockSpec((rtile, tile), lambda p, ijk: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ijk.shape[1],),
         in_specs=[
             b_spec,
             pl.BlockSpec(
-                (tile, 1), lambda p, ijk: (sot + ijk[0, p], 0)),
+                (rtile, 1), lambda p, ijk: (sot2 + ijk[0, p], 0)),
             pl.BlockSpec(
                 (tile, 1), lambda p, ijk: (sot + ijk[1, p], 0)),
             pl.BlockSpec((1, 1), lambda p, ijk: (0, 0)),
             pl.BlockSpec(
-                (tile, kchunk), lambda p, ijk: (ijk[0, p], ijk[2, p])),
+                (rtile, kchunk), lambda p, ijk: (ijk[0, p], ijk[2, p])),
             pl.BlockSpec(
                 (tile, kchunk), lambda p, ijk: (ijk[1, p], ijk[2, p])),
         ],
         out_specs=pl.BlockSpec(
-            (tile, tile), lambda p, ijk: (ijk[0, p], ijk[1, p])),
+            (rtile, tile), lambda p, ijk: (ijk[0, p], ijk[1, p])),
     )
     return pl.pallas_call(
         kernel,

@@ -105,3 +105,27 @@ def test_chol_rec_pallas_matches_plain(rng):
     np.testing.assert_allclose(
         np.asarray(jnp.stack(dinvs)), np.asarray(jnp.stack(dinvs2)),
         rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize('with_s', [True, False])
+def test_schur_update_macro_rows(rng, with_s):
+    """rows=2 macro-tiles: same values on every i >= j tile (the tiles
+    just above the diagonal inside a macro-row are computed too, and
+    must also be valid since the formula is position-independent)."""
+    tile, rows = 128, 2
+    size = 512
+    h = 256
+    A = jnp.asarray(rng.standard_normal((size, h)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((size, size)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 2.0, size), jnp.float32) \
+        if with_s else None
+    eps = jnp.float32(0.125)
+    got = schur_update(B, A, s=s, eps=eps, tile=tile, kchunk=128,
+                       rows=rows, precision='highest',
+                       interpret='pallas')
+    ref = _ref_schur(B, A, s, eps, size, 0, tile)
+    nt = size // tile
+    keep = np.tril(np.ones((nt, nt), bool)) \
+        .repeat(tile, 0).repeat(tile, 1)
+    np.testing.assert_allclose(np.asarray(got)[keep], ref[keep],
+                               rtol=2e-5, atol=2e-4)
