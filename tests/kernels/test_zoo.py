@@ -95,6 +95,26 @@ class TestZoo:
         K2 = np.asarray(k(x[:, None], x[None, :]))
         np.testing.assert_allclose(K1, K2, **tol(5e-7, 1e-10, rtol32=1e-4, atol32=1e-5))
 
+    def test_posterior_end_to_end(self, make, domain, rng):
+        """Every zoo kernel drives the full user pipeline: GP +
+        noisy data -> posterior -> joint sample (Chol, pred, uncert,
+        raniter all engaged; the BagOfWords regexp bug showed that
+        per-kernel unit values can pass while the end-to-end path is
+        broken)."""
+        import lsqfitgp_tpu as lgp
+        k = make()
+        xd = sample_x(rng, domain, 10)
+        xg = sample_x(rng, domain, 14)
+        y = rng.standard_normal(xd.size)
+        gp = lgp.GP(k).addx(xd, 'd').addx(xg, 'g')
+        post = gp.predfromdata(
+            {'d': y}, ['g'], {('d', 'd'): 0.1 * np.eye(xd.size)})
+        m = np.asarray(post['g'].mean)
+        sd = np.asarray(post['g'].sdev)
+        assert np.all(np.isfinite(m)) and np.all(np.isfinite(sd))
+        s = next(lgp.raniter(post, rng=0))
+        assert np.all(np.isfinite(np.asarray(s['g'])))
+
 
 class TestOracles:
     """Value checks against scipy implementations."""
