@@ -16,7 +16,8 @@ def main():
     scalefun = lambda t: 0.3 + 0.5 * jnp.abs(t)
     k_gibbs = lgp.Gibbs(scalefun=scalefun)
     K = np.asarray(k_gibbs(x[:, None], x[None, :]))
-    assert np.linalg.eigvalsh(K).min() > -1e-8
+    feps = float(np.finfo(K.dtype).eps)   # lane-aware PSD roundoff
+    assert np.linalg.eigvalsh(K).min() > -max(1e-8, 1e3 * n * feps)
     np.testing.assert_allclose(np.diag(K), 1.0, rtol=1e-6)
 
     # variance envelope sigma(x) = 1 + x² via Rescaling

@@ -70,9 +70,13 @@ def main():
             continue   # needs mandatory args not in specials: skip
         x = domains.get(name, xr)
         K = np.asarray(k(x[:, None], x[None, :]), 'f8')
-        sym = np.allclose(K, K.T, atol=1e-8)
+        # lane eps, not K.dtype: kernels with host/f64 stages hand
+        # back f64 arrays whose VALUES carry the lane's roundoff
+        import jax.numpy as jnp
+        feps = float(jnp.finfo(jnp.zeros(0).dtype).eps)
+        sym = np.allclose(K, K.T, atol=max(1e-8, 1e4 * feps))
         eigs = np.linalg.eigvalsh(0.5 * (K + K.T))
-        psd = eigs.min() > -1e-6 * max(1.0, eigs.max())
+        psd = eigs.min() > -1e10 * feps * max(1.0, eigs.max())
         print(f'{name:24s} diag[0]={K[0, 0]:8.3f}  '
               f'eig range [{eigs.min():9.2e}, {eigs.max():9.2e}]  '
               f'{"ok" if sym and psd else "FAIL"}')

@@ -22,7 +22,11 @@ def main():
     # data from a smooth (infinitely differentiable) process
     k_true = lgp.ExpQuad(scale=1.5)
     K = np.asarray(k_true(x[:, None], x[None, :]), 'f8')
-    y = np.linalg.cholesky(K + 1e-8 * np.eye(n)) \
+    # jitter sized for the dtype the kernel was EVALUATED at (the
+    # entries carry f32 roundoff in the f32 lane)
+    keps = float(np.finfo(
+        np.asarray(k_true(x[:1], x[:1])).dtype).eps)
+    y = np.linalg.cholesky(K + max(1e-8, 1e3 * n * keps) * np.eye(n)) \
         @ rng.standard_normal(n) + noise * rng.standard_normal(n)
 
     candidates = {

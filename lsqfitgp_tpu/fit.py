@@ -534,6 +534,26 @@ class empbayes_fit:
                     gnorm = float(numpy.max(numpy.abs(numpy.asarray(g))))
                     scale = max(1.0, abs(float(res.fun)))
                     success = gnorm <= 10 * (eps ** 0.5) * scale
+                if not success and g is not None:
+                    # the plain gradient criterion is blind to the
+                    # objective's curvature (e.g. a stiff
+                    # additional_loss raises the f32 gradient noise
+                    # floor by its curvature); the Newton decrement
+                    # g' H^-1 g — the remaining decrease to the local
+                    # optimum — is scale-invariant, and scipy's BFGS
+                    # inverse-Hessian approximation is good enough for
+                    # a convergence heuristic
+                    Hinv = getattr(res, 'hess_inv', None)
+                    if Hinv is not None:
+                        if hasattr(Hinv, 'todense'):
+                            Hinv = Hinv.todense()
+                        try:
+                            gv = numpy.asarray(g, float)
+                            lam2 = float(
+                                gv @ (numpy.asarray(Hinv, float) @ gv))
+                            success = 0 <= lam2 <= 100 * eps * scale
+                        except Exception:
+                            pass
             self.minresult = res
             hess_inv = getattr(res, 'hess_inv', None)
             if hess_inv is not None and hasattr(hess_inv, 'todense'):
