@@ -245,6 +245,37 @@ def gram_tiled_loop(n, dtype, p=8):
     return loop, (x,)
 
 
+def fit_full(n, dtype):
+    """Full empbayes_fit wallclock (BASELINE.json names
+    'empbayes_fit wallclock at N=4k-64k' as part of the metric):
+    2-hyperparameter MAP fit, scipy driver + jitted value_and_grad."""
+    import numpy
+    import jax.numpy as jnp
+    import lsqfitgp_tpu as lgp
+
+    x, y = make_problem(n, dtype)
+    xh = numpy.asarray(x)
+    yh = numpy.asarray(
+        numpy.sin(xh) + 0.1 * numpy.random.default_rng(0)
+        .standard_normal(n), numpy.float32)
+
+    def gpf(hp):
+        gp = lgp.GP(lgp.ExpQuad(scale=hp['scale']))
+        gp = gp.addx(x, 'f').addcov(
+            hp['sigma'] ** 2 * jnp.eye(n, dtype=dtype), 'e')
+        return gp.addlintransf(lambda f, e: f + e, ['f', 'e'], 'y',
+                               checklin=False)
+
+    t0 = time.perf_counter()
+    fit = lgp.empbayes_fit(
+        {'log(scale)': (0.0, 1.0), 'log(sigma)': (-2.3, 1.0)},
+        gpf, {'y': jnp.asarray(yh)}, raises=False,
+    )
+    wall = time.perf_counter() - t0
+    nit = int(getattr(fit.minresult, 'nit', -1))
+    return wall, nit
+
+
 def fit_iter_loop(n, dtype):
     """One empbayes-style iteration: value+grad of the NLL through the
     fused reverse rule (linalg.chol_nll — what empbayes_fit runs)."""
@@ -346,6 +377,16 @@ def main():
                 _log(msg + f' (setup {time.perf_counter() - t0:.0f}s)')
             except Exception as exc:  # noqa: BLE001 - extras are best-effort
                 _log(f'[bench] {name} n={n} failed: {exc!r}')
+
+    # full empbayes_fit wallclock (the other half of the BASELINE
+    # metric); includes the one-time jit compile of value_and_grad
+    if backend != 'cpu' and _elapsed() <= _BUDGET:
+        try:
+            wall, nit = fit_full(4096, dtype)
+            _log(f'[bench] empbayes_fit n=4096: {wall:.1f} s wallclock '
+                 f'({nit} iterations, jit compile included)')
+        except Exception as exc:  # noqa: BLE001 - best-effort
+            _log(f'[bench] empbayes_fit n=4096 failed: {exc!r}')
 
     # reference-equivalent CPU/f64 baseline
     nb = 4096
