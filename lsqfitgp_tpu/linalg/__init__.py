@@ -1,7 +1,8 @@
 """Linear algebra layer: regularized decompositions and structured solvers."""
 
 from ._pytree import AutoPyTree
-from ._decomp import Decomposition, Chol, chol_nll, solve_batched
+from ._decomp import (Decomposition, Chol, chol_nll,
+                      chol_nll_stream, solve_batched)
 from ._blocked import (
     chol_factor, cholesky_blocked, solve_lower, solve_lower_t,
     diag_block_inverses, trtri_blocked,

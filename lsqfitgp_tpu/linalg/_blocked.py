@@ -917,3 +917,91 @@ def cholesky_blocked(K, block=512, b1=128, precision=None,
     on symmetric PSD input (any size; internally padded to a multiple
     of ``block``)."""
     return chol_factor(K, block, b1, precision, scheme)[0]
+
+
+def _gram_block(X, xn, profile, params, r0, c0, h, w, precision=None,
+                nreal=None):
+    """One (h, w) block of K[i, j] = profile(‖X_i − X_j‖², *params)
+    from pre-padded points (plain XLA; used for the streaming
+    factorization's leaves and panels, where the block is needed as a
+    dense matmul operand anyway).  The two blocks' common mean is
+    subtracted before the norm expansion so the r² error stays
+    RELATIVE (see the gram-fused kernel's centering note); ``xn`` is
+    unused but kept in the signature for symmetry."""
+    Xr = X[r0:r0 + h]
+    Xc = X[c0:c0 + w]
+    c = 0.5 * (jnp.mean(Xr, axis=0, keepdims=True)
+               + jnp.mean(Xc, axis=0, keepdims=True))
+    Xr = Xr - c
+    Xc = Xc - c
+    xnr = jnp.sum(Xr * Xr, axis=1, keepdims=True)
+    xnc = jnp.sum(Xc * Xc, axis=1, keepdims=True)
+    cross = jnp.dot(Xr, Xc.T, precision=lax.Precision.HIGHEST)
+    r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+    t = profile(r2, *params)
+    if nreal is not None:
+        # exact blockdiag(K, I) padding tail by global index
+        rows = r0 + jnp.arange(h)
+        cols = c0 + jnp.arange(w)
+        real = (rows[:, None] < nreal) & (cols[None, :] < nreal)
+        t = jnp.where(real, t, 0.0)
+        t = jnp.where((rows[:, None] == cols[None, :])
+                      & (rows[:, None] >= nreal), 1.0, t)
+    return t
+
+
+def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
+                        precision, bump, interpret=False, nreal=None):
+    """Streaming (matrix-free) recursive Cholesky: the virtual matrix is
+    ``K + eps I`` with ``K[i, j] = profile(‖X_i − X_j‖²)`` COMPUTED on
+    first touch — leaves and panels as plain fused XLA blocks, the
+    big trailing updates inside the gram-fused Pallas Schur kernel
+    (:func:`lsqfitgp_tpu.ops._syrk.schur_update_gram`) — so the dense
+    Gram never exists in memory.  This is what takes the single-chip
+    pipeline past the HBM wall (n = 65536 would need a 17 GB Gram; the
+    factor TREE is n²/2).
+
+    Same tree contract as `_chol_rec_tree_pallas`; deeper levels (whose
+    trailing matrices are materialized Schur complements) reuse the
+    dense-path recursion.
+    """
+    if nreal is None:
+        nreal = X.shape[0]
+    if kb == 1:
+        D = _gram_block(X, xn, profile, params, o, o, block, block,
+                        nreal=nreal) \
+            + eps * jnp.eye(block, dtype=X.dtype)
+        L, Linv = _factor_diag(D, b1, precision, bump)
+        return L, [Linv]
+    hb = (kb + 1) // 2
+    h = hb * block
+    w = (kb - hb) * block
+    t11, d1 = _chol_rec_tree_gram(X, xn, profile, params, eps, o, hb,
+                                  block, b1, precision, bump, interpret,
+                                  nreal)
+    A21 = _gram_block(X, xn, profile, params, o + h, o, w, h,
+                      nreal=nreal)
+    P = _tree_solve_right_t(A21, t11, d1, block, precision)
+    if w < 4096 and interpret is False:
+        S = _gram_block(X, xn, profile, params, o + h, o + h, w, w,
+                        nreal=nreal) \
+            + eps * jnp.eye(w, dtype=X.dtype) \
+            - jnp.dot(P, P.T, precision=precision)
+    else:
+        from ..ops import _syrk
+        S = _syrk.schur_update_gram(
+            profile, X, xn, P, params=params, eps=eps, nreal=nreal,
+            size=w, offset=o + h, tile=block, precision=precision,
+            interpret=interpret)
+    t22, d2 = _chol_rec_tree_pallas(S, None, None, o + h, o + h,
+                                    kb - hb, block, b1, precision, bump,
+                                    interpret)
+    return (P, t11, t22), d1 + d2
+
+
+def _tree_leaf_logdiag(tree):
+    """log of the diagonal of the factor, leaf by leaf, in order."""
+    if not isinstance(tree, tuple):
+        return [jnp.log(jnp.diagonal(tree))]
+    _, t11, t22 = tree
+    return _tree_leaf_logdiag(t11) + _tree_leaf_logdiag(t22)

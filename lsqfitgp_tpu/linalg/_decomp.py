@@ -36,7 +36,8 @@ from . import _blocked
 from ._pytree import AutoPyTree
 from .._jaxutil import skipifabstract
 
-__all__ = ['Decomposition', 'Chol', 'chol_nll', 'solve_batched']
+__all__ = ['Decomposition', 'Chol', 'chol_nll', 'chol_nll_stream',
+           'solve_batched']
 
 
 def _float_eps(dtype):
@@ -588,3 +589,82 @@ def solve_batched_triangular(L, B):
 
 def solve_batched(decomp, B):
     return decomp.ginv_linear(B)
+
+
+def chol_nll_stream(profile, x, y, *, params=(), epsabs=None,
+                    block=512, b1=128, precision='high',
+                    interpret=None):
+    """-log N(y | 0, K + eps I) for an ISOTROPIC kernel WITHOUT ever
+    materializing the Gram matrix:
+    ``K[i, j] = profile(‖x_i − x_j‖², *params)`` is computed on first
+    touch inside the streaming blocked factorization — leaves/panels as
+    fused XLA blocks, trailing updates inside the gram-fused Pallas
+    Schur kernel — and the factor lives as a lower-trapezoid TREE
+    (n²/2 floats) that is never densified.  The solve runs directly on
+    the tree; the log-determinant comes from the leaf diagonals.
+
+    This takes the single-chip dense-equivalent pipeline past the HBM
+    wall: at n = 65536 (f32) the Gram alone is 17 GB > HBM, while the
+    tree peak is ~13 GB.  Value-only at that scale (the hand-derived
+    gradient carrier K⁻¹ is itself a dense n² object; use the
+    distributed layer for gradients beyond single-chip memory).
+
+    The padding tail is an exact identity selected by index (any
+    profile works); r² tiles are computed with per-tile-pair centering
+    so the MXU norm expansion stays accurate on wide coordinate
+    ranges.
+
+    ``epsabs`` defaults to the f32 'auto' diagonal anchor
+    ``4 * eps * profile(0)``.  Unlike :class:`Chol` there is no
+    eps-escalation ladder: a model whose regularized condition number
+    exceeds the f32 feasibility boundary (see docs/perf.md) comes back
+    NaN — raise ``epsabs`` (it should be at least the model's real
+    noise floor) or reduce the correlation length.
+    """
+    from ..ops import _gram as _og
+
+    X, dtype = _og._prep(x)
+    n = X.shape[0]
+    y = jnp.asarray(y, dtype)
+    # pad to a block multiple with far-away DISTINCT points.  Unlike
+    # the Gram evaluator's padding (whose padded entries are sliced
+    # away), these pads PARTICIPATE in the factorization, so their
+    # pairwise distances must survive the f32 norm-expansion
+    # cancellation: with pad coords ~B and spacing d, the computed
+    # pad-pad r² carries ~eps*B² error, so d is chosen ~1e-2·B
+    # (B = 1e3x the data range -> pad-real correlations ~profile(1e6)
+    # ~ 0 for decaying profiles, pad-pad r² accurate to ~1%)
+    npad = -(-n // block) * block
+    # the padding tail is an EXACT identity block selected by global
+    # index inside the kernels (no far-point coordinates, so no
+    # profile-decay contract).  Each r² tile is computed after
+    # subtracting the two tiles' common mean, which keeps the MXU
+    # norm-expansion error RELATIVE (~eps) for every pair geometry;
+    # to support that, the coordinates are globally centered and the
+    # (masked-out) pad rows REPEAT the last real point so the mixed
+    # real/pad tile stays geometrically tight instead of dragging its
+    # center toward an artificial origin.
+    X = (X - jnp.mean(X, axis=0, keepdims=True)).astype(dtype)
+    Xp = jnp.zeros((npad, X.shape[1]), dtype).at[:n].set(X)
+    if npad != n:
+        Xp = Xp.at[n:].set(X[n - 1])
+    xn = jnp.sum(Xp * Xp, axis=-1, keepdims=True)
+    params = tuple(jnp.asarray(v, dtype) for v in params)
+    k0 = profile(jnp.zeros((1, 1), dtype), *params)[0, 0]
+    mach = _float_eps(dtype)
+    eps = (0.0 if epsabs is None else epsabs) + 4 * mach * k0
+    # trace upper bound on the max eigenvalue (PSD, ~constant diag):
+    # sizes the self-healing lift without a full |K| matvec
+    bump = _blocked._LIFT * mach * n * k0
+    prec = _blocked._precision(precision)
+    tree, dinvs = _blocked._chol_rec_tree_gram(
+        Xp, xn, profile, params, jnp.asarray(eps, dtype), 0,
+        npad // block, block, b1, prec, bump,
+        False if interpret is None else interpret, n)
+    ypad = jnp.concatenate([y, jnp.zeros(npad - n, dtype)])
+    zt = _blocked._tree_solve_right_t(
+        ypad[None, :], tree, dinvs, block, prec)
+    quad = jnp.sum(jnp.square(zt))
+    logdiag = jnp.concatenate(_blocked._tree_leaf_logdiag(tree))[:n]
+    return 0.5 * (quad + 2 * jnp.sum(logdiag)
+                  + n * jnp.log(2 * jnp.pi))

@@ -316,3 +316,246 @@ def syrk_t_full(W, *, lower=True, tile=512, kchunk=512,
     # (each diagonal tile was computed in full).
     Lt = jnp.tril(C)
     return Lt + Lt.T - jnp.diag(jnp.diag(Lt))
+
+
+def _schur_gram_kernel(ijk_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
+                       p_ref, ai_ref, aj_ref, o_ref, *, profile,
+                       nparams, precision, tile, with_eps, nreal):
+    """Gram-fused Schur update: the output tile is INITIALIZED with the
+    kernel matrix computed from the point tiles (r² on the MXU + the
+    profile fused in VMEM, exactly like the tiled Gram evaluator) and
+    then accumulates −A Aᵀ — so the trailing matrix of the streaming
+    factorization is born already Schur-updated and the Gram block
+    never exists in HBM."""
+    p = pl.program_id(0)
+
+    @pl.when(ijk_ref[3, p] == 1)
+    def init():
+        # per-tile-pair centering: the norm expansion's absolute r2
+        # error is ~eps * max|x - c|^2, so subtracting the two tiles'
+        # common mean makes the error RELATIVE (~eps) for every pair
+        # geometry — without it, fine spacings on wide coordinate
+        # ranges lose r2 entirely (eps * |x|^2 > spacing^2)
+        xt = xr_ref[...]
+        yt = xc_ref[...]
+        c = 0.5 * (jnp.mean(xt, axis=0, keepdims=True)
+                   + jnp.mean(yt, axis=0, keepdims=True))
+        xt = xt - c
+        yt = yt - c
+        xn = jnp.sum(xt * xt, axis=1, keepdims=True)
+        yn = jnp.sum(yt * yt, axis=1, keepdims=True)
+        cross = lax.dot_general(
+            xt, yt.T, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.promote_types(
+                xt.dtype, jnp.float32),
+        )
+        r2 = xn + yn.T - 2 * cross
+        r2 = jnp.maximum(r2, 0.0)
+        t = profile(r2, *(p_ref[k, 0] for k in range(nparams)))
+        i = ijk_ref[0, p]
+        j = ijk_ref[1, p]
+        rows = lax.broadcasted_iota(jnp.int32, (tile, tile), 0) \
+            + i * tile
+        cols = lax.broadcasted_iota(jnp.int32, (tile, tile), 1) \
+            + j * tile
+        # padding tail by GLOBAL index: the virtual matrix is exactly
+        # blockdiag(K, I) — no far-point pad coordinates, hence no
+        # profile-decay contract, and mixed real/pad tiles stay exact
+        real = (rows < nreal) & (cols < nreal)
+        t = jnp.where(real, t, 0.0)
+        t = jnp.where((rows == cols) & (rows >= nreal), 1.0, t)
+        if with_eps:
+            t = jnp.where(rows == cols, t + p_ref[nparams, 0], t)
+        o_ref[...] = t.astype(o_ref.dtype)
+
+    acc = _dot_prec(ai_ref[...], aj_ref[...], (((1,), (1,)), ((), ())),
+                    precision, o_ref.dtype)
+    o_ref[...] = o_ref[...] - acc
+
+
+def schur_update_gram(profile, X, xn, A, *, params=(), eps=None,
+                      nreal=None, size=None, offset=0, tile=512,
+                      kchunk=512, precision=None, interpret=None):
+    """Lower-trapezoid tiles of
+    ``S = K[off:off+size, off:off+size] + eps I − A Aᵀ`` where
+    ``K[i, j] = profile(‖X_i − X_j‖², *params)`` is COMPUTED inside the
+    kernel from the (pre-padded) point matrix — the Gram block never
+    hits HBM.  This is what lets the streaming factorization handle
+    problem sizes whose dense Gram exceeds device memory.
+
+    X : (npad, p) padded points; xn : (npad, 1) squared norms
+    A : (size, h); size/offset multiples of ``tile``
+    params : profile parameters (traced OK), passed positionally
+    Same uninitialized-upper-tiles contract as `schur_update`.
+    """
+    m, h = A.shape
+    if size is None:
+        size = m
+    if nreal is None:
+        nreal = X.shape[0]
+    assert size == m and size % tile == 0 and offset % tile == 0
+    nt = size // tile
+    ot = offset // tile
+    dtype = A.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    emulate = interpret == 'pallas'
+    pvec = [jnp.asarray(v, dtype).reshape(()) for v in params]
+    pvec.append(jnp.asarray(0.0 if eps is None else eps,
+                            dtype).reshape(()))
+    pvec = jnp.stack(pvec).reshape(-1, 1)
+    nparams = pvec.shape[0] - 1
+    if interpret and not emulate:
+        Xs = X[offset:offset + size]
+        r2 = jnp.sum(
+            (Xs[:, None, :] - Xs[None, :, :]) ** 2, axis=-1)
+        S = profile(r2, *(pvec[k, 0] for k in range(nparams)))
+        gi = offset + jnp.arange(size)
+        real = (gi[:, None] < nreal) & (gi[None, :] < nreal)
+        S = jnp.where(real, S, 0.0)
+        S = jnp.where((gi[:, None] == gi[None, :])
+                      & (gi[:, None] >= nreal), 1.0, S)
+        if eps is not None:
+            S = S + pvec[nparams, 0] * jnp.eye(size, dtype=dtype)
+        S = S - jnp.dot(A, A.T, precision=_as_precision(precision))
+        keep = jnp.tril(jnp.ones((nt, nt), bool)) \
+            .repeat(tile, 0).repeat(tile, 1)
+        return jnp.where(keep, S, 0)
+
+    if h % kchunk:
+        kchunk = tile
+    assert h % kchunk == 0, (h, kchunk, tile)
+    nk = h // kchunk
+    npairs = nt * (nt + 1) // 2
+    from jax.experimental.pallas import tpu as pltpu
+    npts = X.shape[1]
+    if npairs * nk <= 50000:
+        # flat (4, N) (i, j, k, first) table; 1-D grid (also the path
+        # the CPU-emulated tests can run: the HLO interpreter supports
+        # only program_id(0) with scalar prefetch)
+        ijk = []
+        for j in range(nt):
+            for i in range(j, nt):
+                for k in range(nk):
+                    ijk.append((i, j, k, 1 if k == 0 else 0))
+        ijk = numpy.array(ijk, numpy.int32).T.copy()
+        kernel = functools.partial(
+            _schur_gram_kernel, profile=profile, nparams=nparams,
+            precision=_as_precision(precision), tile=tile,
+            with_eps=eps is not None, nreal=nreal,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ijk.shape[1],),
+            in_specs=[
+                pl.BlockSpec(
+                    (tile, npts), lambda p, ijk: (ot + ijk[0, p], 0)),
+                pl.BlockSpec(
+                    (tile, npts), lambda p, ijk: (ot + ijk[1, p], 0)),
+                pl.BlockSpec(
+                    (tile, 1), lambda p, ijk: (ot + ijk[0, p], 0)),
+                pl.BlockSpec(
+                    (tile, 1), lambda p, ijk: (ot + ijk[1, p], 0)),
+                pl.BlockSpec((pvec.shape[0], 1), lambda p, ijk: (0, 0)),
+                pl.BlockSpec(
+                    (tile, kchunk),
+                    lambda p, ijk: (ijk[0, p], ijk[2, p])),
+                pl.BlockSpec(
+                    (tile, kchunk),
+                    lambda p, ijk: (ijk[1, p], ijk[2, p])),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile, tile), lambda p, ijk: (ijk[0, p], ijk[1, p])),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((size, size), dtype),
+            grid_spec=grid_spec,
+            interpret=emulate,
+        )(jnp.asarray(ijk), X, X, xn, xn, pvec, A, A)
+    # huge grids: (2, npairs) pair table + the k axis on the grid (the
+    # flat table would exceed the 1 MB SMEM)
+    ij = numpy.array(
+        [(i, j) for j in range(nt) for i in range(j, nt)],
+        numpy.int32).T.copy()
+    kernel = functools.partial(
+        _schur_gram_kernel2, profile=profile, nparams=nparams,
+        precision=_as_precision(precision), tile=tile,
+        with_eps=eps is not None, nreal=nreal,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ij.shape[1], nk),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, npts), lambda p, k, ij: (ot + ij[0, p], 0)),
+            pl.BlockSpec(
+                (tile, npts), lambda p, k, ij: (ot + ij[1, p], 0)),
+            pl.BlockSpec(
+                (tile, 1), lambda p, k, ij: (ot + ij[0, p], 0)),
+            pl.BlockSpec(
+                (tile, 1), lambda p, k, ij: (ot + ij[1, p], 0)),
+            pl.BlockSpec((pvec.shape[0], 1), lambda p, k, ij: (0, 0)),
+            pl.BlockSpec(
+                (tile, kchunk), lambda p, k, ij: (ij[0, p], k)),
+            pl.BlockSpec(
+                (tile, kchunk), lambda p, k, ij: (ij[1, p], k)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, tile), lambda p, k, ij: (ij[0, p], ij[1, p])),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((size, size), dtype),
+        grid_spec=grid_spec,
+        interpret=emulate,
+    )(jnp.asarray(ij), X, X, xn, xn, pvec, A, A)
+
+
+def _schur_gram_kernel2(ij_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
+                        p_ref, ai_ref, aj_ref, o_ref, *, profile,
+                        nparams, precision, tile, with_eps, nreal):
+    """2-D-grid variant of `_schur_gram_kernel` (pairs x k-steps): the
+    k index comes from the grid instead of the work table, so the
+    prefetched table is (2, npairs) — at n=65536 the flat (4, N)
+    (i, j, k, first) table is 2.1 MB > the 1 MB SMEM."""
+    p = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def init():
+        # per-tile-pair centering (see _schur_gram_kernel)
+        xt = xr_ref[...]
+        yt = xc_ref[...]
+        c = 0.5 * (jnp.mean(xt, axis=0, keepdims=True)
+                   + jnp.mean(yt, axis=0, keepdims=True))
+        xt = xt - c
+        yt = yt - c
+        xn = jnp.sum(xt * xt, axis=1, keepdims=True)
+        yn = jnp.sum(yt * yt, axis=1, keepdims=True)
+        cross = lax.dot_general(
+            xt, yt.T, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.promote_types(
+                xt.dtype, jnp.float32),
+        )
+        r2 = xn + yn.T - 2 * cross
+        r2 = jnp.maximum(r2, 0.0)
+        t = profile(r2, *(p_ref[q, 0] for q in range(nparams)))
+        i = ij_ref[0, p]
+        j = ij_ref[1, p]
+        rows = lax.broadcasted_iota(jnp.int32, (tile, tile), 0) \
+            + i * tile
+        cols = lax.broadcasted_iota(jnp.int32, (tile, tile), 1) \
+            + j * tile
+        real = (rows < nreal) & (cols < nreal)
+        t = jnp.where(real, t, 0.0)
+        t = jnp.where((rows == cols) & (rows >= nreal), 1.0, t)
+        if with_eps:
+            t = jnp.where(rows == cols, t + p_ref[nparams, 0], t)
+        o_ref[...] = t.astype(o_ref.dtype)
+
+    acc = _dot_prec(ai_ref[...], aj_ref[...], (((1,), (1,)), ((), ())),
+                    precision, o_ref.dtype)
+    o_ref[...] = o_ref[...] - acc

@@ -129,3 +129,83 @@ def test_schur_update_macro_rows(rng, with_s):
         .repeat(tile, 0).repeat(tile, 1)
     np.testing.assert_allclose(np.asarray(got)[keep], ref[keep],
                                rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize('with_eps', [True, False])
+def test_schur_update_gram(rng, with_eps):
+    """Gram-fused Schur kernel (emulated) vs computing the Gram block
+    explicitly and subtracting."""
+    from lsqfitgp_tpu.ops._syrk import schur_update_gram
+
+    tile = 128
+    size, offset, npts = 384, 128, 3
+    npad = offset + size
+    X = jnp.asarray(rng.standard_normal((npad, npts)), jnp.float32)
+    xn = jnp.sum(X * X, axis=-1, keepdims=True)
+    A = jnp.asarray(rng.standard_normal((size, 256)), jnp.float32)
+    amp = jnp.float32(1.7)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+    eps = jnp.float32(0.25) if with_eps else None
+    got = schur_update_gram(
+        profile, X, xn, A, params=(amp,), eps=eps, size=size,
+        offset=offset, tile=tile, kchunk=128, precision='highest',
+        interpret='pallas')
+    Xs = np.asarray(X, np.float64)[offset:offset + size]
+    r2 = ((Xs[:, None] - Xs[None, :]) ** 2).sum(-1)
+    ref = 1.7 * np.exp(-0.5 * r2)
+    if with_eps:
+        ref = ref + 0.25 * np.eye(size)
+    ref = ref - np.asarray(A, np.float64) @ np.asarray(A, np.float64).T
+    nt = size // tile
+    keep = np.tril(np.ones((nt, nt), bool)) \
+        .repeat(tile, 0).repeat(tile, 1)
+    np.testing.assert_allclose(np.asarray(got)[keep], ref[keep],
+                               rtol=2e-4, atol=5e-4)
+
+
+def test_chol_nll_stream_matches_dense(rng):
+    """Streaming (never-materialized-Gram) NLL vs the dense chol_nll
+    on the same kernel matrix, including padding tails."""
+    from lsqfitgp_tpu.linalg import chol_nll, chol_nll_stream
+
+    n = 300
+    x = np.sort(rng.uniform(-5, 5, n))
+    y = rng.standard_normal(n)
+    amp = 1.3
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+    eps = 1e-2   # keep cond within honest f32 reach for the parity
+    got = float(chol_nll_stream(
+        profile, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        params=(jnp.float32(amp),), epsabs=eps, block=128, b1=128,
+        precision='highest'))
+    K = amp * np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2) \
+        + eps * np.eye(n)
+    want = float(chol_nll(jnp.asarray(K, jnp.float32),
+                          jnp.asarray(y, jnp.float32),
+                          epsrel=0, epsabs=0))
+    assert abs(got - want) / abs(want) < 1e-3, (got, want)
+
+
+def test_chol_nll_stream_wide_coordinates(rng):
+    """Wide coordinate ranges: the r² norm expansion loses fine
+    distances unless each tile pair is centered (regression: pre-fix,
+    eps*|x|² swamped the spacing² and the streaming NLL went NaN or
+    silently wrong on long grids)."""
+    from lsqfitgp_tpu.linalg import chol_nll, chol_nll_stream
+
+    n = 300
+    x = np.arange(n) * 7.0 + 5e4   # huge offset + moderate spacing
+    y = rng.standard_normal(n)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * (r2 / 100.0))
+    eps = 1e-2
+    got = float(chol_nll_stream(
+        profile, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        params=(jnp.float32(1.3),), epsabs=eps, block=128, b1=128,
+        precision='highest'))
+    d2 = (x[:, None] - x[None, :]) ** 2
+    K = 1.3 * np.exp(-0.5 * d2 / 100.0) + eps * np.eye(n)
+    want = float(chol_nll(jnp.asarray(K, jnp.float32),
+                          jnp.asarray(y, jnp.float32),
+                          epsrel=0, epsabs=0))
+    assert np.isfinite(got)
+    assert abs(got - want) / abs(want) < 1e-3, (got, want)
