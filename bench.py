@@ -4,11 +4,11 @@ regularized Cholesky + solve) throughput.
 Metric (per BASELINE.json): Cholesky+solve TFLOP/s at large N.
 
 - headline: this framework on the default backend (TPU, fp32) at
-  N=32768 — the largest single-chip size (4 GB Gram), measured first
-  so a tight time budget still produces it (per BASELINE.json the
-  metric is "Cholesky+solve TFLOP/s at N=4k-64k"; the round-3
-  recursive+Pallas factorization made 32768 compile in seconds where
-  the round-2 program was uncompilable);
+  N=65536 — the BASELINE.json north-star size ("N=65k dense Cholesky +
+  solve"), via the STREAMING pipeline (linalg.chol_nll_stream: the
+  Gram is computed inside the factorization's Pallas kernels and the
+  factor stays a lower-trapezoid tree, so the 17 GB dense Gram never
+  exists); measured first so a tight time budget still produces it;
 - ladder extras (stderr): chol+solve at N=4096/8192/16384, Gram
   assembly, and one empbayes-style fit iteration (value+grad of the
   NLL), each skipped if the elapsed budget is exhausted (cold XLA
@@ -99,6 +99,28 @@ def _direct_time(fn, args, reps=5):
         float(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return max(best - sync, 1e-9)
+
+
+def chol_stream_direct(n, dtype):
+    """Streaming (never-materialized-Gram) chol+solve+logdet pipeline
+    at sizes whose dense Gram exceeds HBM (linalg.chol_nll_stream)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy
+    from lsqfitgp_tpu.linalg import chol_nll_stream
+
+    rng = numpy.random.default_rng(0)
+    x = jnp.arange(n, dtype=dtype) * 0.05
+    y = jnp.asarray(rng.standard_normal(n), dtype)
+    amp = jnp.asarray(1.3, dtype)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+
+    @jax.jit
+    def pipe(x, y):
+        return chol_nll_stream(profile, x, y, params=(amp,),
+                               epsabs=1e-2)
+
+    return pipe, (x, y)
 
 
 def chol_direct(n, dtype):
@@ -331,25 +353,27 @@ def main():
     backend = jax.default_backend()
     dtype = jnp.float32
 
-    # headline first: chol+solve at the largest single-chip size
+    # headline first: the streaming chol+solve at the north-star size
     t0 = time.perf_counter()
     if backend != 'cpu':
-        nhead = 32768
-        fn, args = chol_direct(nhead, dtype)
-        t_head = _direct_time(fn, args)
+        nhead = 65536
+        fn, args = chol_stream_direct(nhead, dtype)
+        t_head = _direct_time(fn, args, reps=3)
     else:
         nhead = 2048
         loop, args = chol_loop(nhead, dtype)
         t_head = _scan_time(loop, args)
     tflops = pipeline_flops(nhead) / t_head / 1e12
-    _log(f'[bench] chol+solve n={nhead}: {t_head * 1e3:.2f} ms, '
-         f'{tflops:.2f} TFLOP/s '
+    _log(f'[bench] chol+solve n={nhead}'
+         + (' (streaming)' if backend != 'cpu' else '')
+         + f': {t_head * 1e3:.2f} ms, {tflops:.2f} TFLOP/s '
          f'(setup+compile {time.perf_counter() - t0:.0f}s)')
 
     # ladder extras, each guarded by the time budget
     extras = {}
     for name, maker, sizes in (
         ('chol', chol_loop, (4096, 8192, 16384)),
+        ('chol_direct', chol_direct, (32768,)),
         ('gram', gram_loop, (4096, 8192, 16384)),
         ('gram_tiled_p8', gram_tiled_loop, (8192,)),
         ('gp_gram_tiled_p8',
