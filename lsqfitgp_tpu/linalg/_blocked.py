@@ -1005,3 +1005,19 @@ def _tree_leaf_logdiag(tree):
         return [jnp.log(jnp.diagonal(tree))]
     _, t11, t22 = tree
     return _tree_leaf_logdiag(t11) + _tree_leaf_logdiag(t22)
+
+
+def _tree_solve_right(B, tree, dinvs, block, precision):
+    """X = B L^{-1} with L the factor tree (k x k) and B (m, k):
+    X2 = B2 L22^{-1}, X1 = (B1 − X2 P) L11^{-1} (the transpose-free
+    companion of `_tree_solve_right_t`, used to apply K^{-1} = L^{-T}
+    L^{-1} on the tree without densifying the factor)."""
+    if not isinstance(tree, tuple):
+        return jnp.dot(B, dinvs[0], precision=precision)
+    P, t11, t22 = tree
+    h = P.shape[1]
+    hb = h // block
+    X2 = _tree_solve_right(B[:, h:], t22, dinvs[hb:], block, precision)
+    B1 = B[:, :h] - jnp.dot(X2, P, precision=precision)
+    X1 = _tree_solve_right(B1, t11, dinvs[:hb], block, precision)
+    return jnp.concatenate([X1, X2], axis=1)

@@ -37,7 +37,7 @@ from ._pytree import AutoPyTree
 from .._jaxutil import skipifabstract
 
 __all__ = ['Decomposition', 'Chol', 'chol_nll', 'chol_nll_stream',
-           'solve_batched']
+           'chol_pred_stream', 'solve_batched']
 
 
 def _float_eps(dtype):
@@ -668,3 +668,88 @@ def chol_nll_stream(profile, x, y, *, params=(), epsabs=None,
     logdiag = jnp.concatenate(_blocked._tree_leaf_logdiag(tree))[:n]
     return 0.5 * (quad + 2 * jnp.sum(logdiag)
                   + n * jnp.log(2 * jnp.pi))
+
+
+def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
+                     block=512, b1=128, precision='high',
+                     interpret=None, return_nll=False):
+    """Streaming GP posterior MEAN at ``xstar`` (plus optionally the
+    training NLL) with the same never-materialized-Gram machinery as
+    :func:`chol_nll_stream`:
+
+        mean* = K(x*, x) (K(x, x) + eps I)^{-1} y
+
+    The weight vector ``alpha = K^{-1} y`` is computed with two tree
+    solves (forward and transposed) on the factor tree, and the
+    cross-covariance matvec streams over column strips of ``x`` — so
+    memory stays O(n·block + n*·block) at any training size.
+    Posterior variances at this scale need one solve per prediction
+    point; use the distributed layer when they are required.
+    """
+    from ..ops import _gram as _og
+
+    X, dtype = _og._prep(x)
+    Xs, _ = _og._prep(xstar)
+    n = X.shape[0]
+    ns = Xs.shape[0]
+    y = jnp.asarray(y, dtype)
+    npad = -(-n // block) * block
+    center = jnp.mean(X, axis=0, keepdims=True)
+    X = (X - center).astype(dtype)
+    Xs = (Xs - center).astype(dtype)
+    Xp = jnp.zeros((npad, X.shape[1]), dtype).at[:n].set(X)
+    if npad != n:
+        Xp = Xp.at[n:].set(X[n - 1])
+    xn = jnp.sum(Xp * Xp, axis=-1, keepdims=True)
+    params = tuple(jnp.asarray(v, dtype) for v in params)
+    k0 = profile(jnp.zeros((1, 1), dtype), *params)[0, 0]
+    mach = _float_eps(dtype)
+    eps = (0.0 if epsabs is None else epsabs) + 4 * mach * k0
+    bump = _blocked._LIFT * mach * n * k0
+    prec = _blocked._precision(precision)
+    tree, dinvs = _blocked._chol_rec_tree_gram(
+        Xp, xn, profile, params, jnp.asarray(eps, dtype), 0,
+        npad // block, block, b1, prec, bump,
+        False if interpret is None else interpret, n)
+    ypad = jnp.concatenate([y, jnp.zeros(npad - n, dtype)])
+    zt = _blocked._tree_solve_right_t(
+        ypad[None, :], tree, dinvs, block, prec)       # (1, npad) = (L^-1 y)'
+    at = _blocked._tree_solve_right(
+        zt, tree, dinvs, block, prec)                  # (1, npad) = (K^-1 y)'
+    alpha = at[0]
+
+    # cross-covariance matvec streamed over column strips of x
+    nstrips = npad // block
+    Xsq = Xs
+    xsn = jnp.sum(Xsq * Xsq, axis=-1, keepdims=True)
+
+    def step(acc, j):
+        c0 = j * block
+        Xc = lax.dynamic_slice(Xp, (c0, 0), (block, Xp.shape[1]))
+        ac = lax.dynamic_slice(alpha, (c0,), (block,))
+        # center on the COLUMN STRIP's mean only: |x - c| is then the
+        # distance to the strip, so the r² error is relative for every
+        # (prediction point, strip) pair — centering on the whole
+        # prediction set's mean breaks near pairs on wide ranges
+        c = jnp.mean(Xc, axis=0, keepdims=True)
+        Xr2 = Xsq - c
+        Xc2 = Xc - c
+        xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
+        xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
+        cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
+        r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+        Kb = profile(r2, *params)
+        # pad columns carry alpha = 0 (zero-padded rhs solves), but
+        # mask anyway for exactness
+        gi = c0 + jnp.arange(block)
+        Kb = jnp.where((gi < n)[None, :], Kb, 0.0)
+        return acc + jnp.dot(Kb, ac, precision=prec), None
+
+    mean, _ = lax.scan(step, jnp.zeros(ns, dtype), jnp.arange(nstrips))
+    if not return_nll:
+        return mean
+    quad = jnp.sum(jnp.square(zt))
+    logdiag = jnp.concatenate(_blocked._tree_leaf_logdiag(tree))[:n]
+    nll = 0.5 * (quad + 2 * jnp.sum(logdiag)
+                 + n * jnp.log(2 * jnp.pi))
+    return mean, nll

@@ -209,3 +209,30 @@ def test_chol_nll_stream_wide_coordinates(rng):
                           epsrel=0, epsabs=0))
     assert np.isfinite(got)
     assert abs(got - want) / abs(want) < 1e-3, (got, want)
+
+
+def test_chol_pred_stream_matches_dense(rng):
+    """Streaming posterior mean vs the dense GP pred on the same
+    model."""
+    import lsqfitgp_tpu as lgp
+    from lsqfitgp_tpu.linalg import chol_pred_stream
+
+    n, ns = 300, 40
+    x = np.sort(rng.uniform(-5, 5, n))
+    xs = np.linspace(-4.5, 4.5, ns)
+    y = np.sin(1.5 * x) + 0.1 * rng.standard_normal(n)
+    amp, eps = 1.3, 1e-2
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+
+    mean, nll = chol_pred_stream(
+        profile, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(xs, jnp.float32), params=(jnp.float32(amp),),
+        epsabs=eps, block=128, b1=128, precision='highest',
+        return_nll=True)
+
+    gp = lgp.GP(amp * lgp.ExpQuad()).addx(x, 'd').addx(xs, 's')
+    post = gp.predfromdata({'d': y}, ['s'], {('d', 'd'): eps * np.eye(n)})
+    want = np.asarray(post['s'].mean)
+    np.testing.assert_allclose(np.asarray(mean), want,
+                               rtol=5e-3, atol=5e-3)
+    assert np.isfinite(float(nll))
