@@ -672,7 +672,8 @@ def chol_nll_stream(profile, x, y, *, params=(), epsabs=None,
 
 def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
                      block=512, b1=128, precision='high',
-                     interpret=None, return_nll=False):
+                     interpret=None, return_nll=False,
+                     return_var=False):
     """Streaming GP posterior MEAN at ``xstar`` (plus optionally the
     training NLL) with the same never-materialized-Gram machinery as
     :func:`chol_nll_stream`:
@@ -683,8 +684,11 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
     solves (forward and transposed) on the factor tree, and the
     cross-covariance matvec streams over column strips of ``x`` — so
     memory stays O(n·block + n*·block) at any training size.
-    Posterior variances at this scale need one solve per prediction
-    point; use the distributed layer when they are required.
+    With ``return_var=True`` the posterior variances are computed too:
+    one tree solve with the (npad, n*) cross-covariance as right-hand
+    side, so memory grows by O(n·n*) — fine for n* up to a few
+    thousand at n = 65536 (268 MB at n* = 1024); use the distributed
+    layer beyond that.
     """
     from ..ops import _gram as _og
 
@@ -746,10 +750,38 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
         return acc + jnp.dot(Kb, ac, precision=prec), None
 
     mean, _ = lax.scan(step, jnp.zeros(ns, dtype), jnp.arange(nstrips))
-    if not return_nll:
-        return mean
-    quad = jnp.sum(jnp.square(zt))
-    logdiag = jnp.concatenate(_blocked._tree_leaf_logdiag(tree))[:n]
-    nll = 0.5 * (quad + 2 * jnp.sum(logdiag)
-                 + n * jnp.log(2 * jnp.pi))
-    return mean, nll
+
+    out = (mean,)
+    if return_var:
+        # var*_i = k(x*_i, x*_i) - ||L^-1 k*_i||²: build the (npad, n*)
+        # cross-covariance (strip-centered like the matvec) and run ONE
+        # matrix-RHS tree solve on its transpose
+        def cross_strip(j):
+            c0 = j * block
+            Xc = lax.dynamic_slice(Xp, (c0, 0), (block, Xp.shape[1]))
+            c = jnp.mean(Xc, axis=0, keepdims=True)
+            Xr2 = Xsq - c
+            Xc2 = Xc - c
+            xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
+            xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
+            cr = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
+            r2 = jnp.maximum(xnr + xnc.T - 2 * cr, 0.0)
+            Kb = profile(r2, *params)
+            gi = c0 + jnp.arange(block)
+            return jnp.where((gi < n)[None, :], Kb, 0.0)  # (ns, block)
+
+        Kst = jnp.concatenate(
+            [cross_strip(j) for j in range(nstrips)], axis=1)
+        W = _blocked._tree_solve_right_t(
+            Kst, tree, dinvs, block, prec)        # (ns, npad) = (L^-1 k*)'
+        var = k0 - jnp.sum(jnp.square(W), axis=1)
+        var = jnp.maximum(var, 0.0)
+        out = out + (var,)
+    if return_nll:
+        quad = jnp.sum(jnp.square(zt))
+        logdiag = jnp.concatenate(
+            _blocked._tree_leaf_logdiag(tree))[:n]
+        nll = 0.5 * (quad + 2 * jnp.sum(logdiag)
+                     + n * jnp.log(2 * jnp.pi))
+        out = out + (nll,)
+    return out[0] if len(out) == 1 else out

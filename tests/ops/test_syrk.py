@@ -224,15 +224,18 @@ def test_chol_pred_stream_matches_dense(rng):
     amp, eps = 1.3, 1e-2
     profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
 
-    mean, nll = chol_pred_stream(
+    mean, var, nll = chol_pred_stream(
         profile, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
         jnp.asarray(xs, jnp.float32), params=(jnp.float32(amp),),
         epsabs=eps, block=128, b1=128, precision='highest',
-        return_nll=True)
+        return_nll=True, return_var=True)
 
     gp = lgp.GP(amp * lgp.ExpQuad()).addx(x, 'd').addx(xs, 's')
     post = gp.predfromdata({'d': y}, ['s'], {('d', 'd'): eps * np.eye(n)})
     want = np.asarray(post['s'].mean)
     np.testing.assert_allclose(np.asarray(mean), want,
                                rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.asarray(post['s'].sdev) ** 2,
+                               rtol=2e-2, atol=1e-4)
     assert np.isfinite(float(nll))
