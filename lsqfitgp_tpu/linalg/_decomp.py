@@ -37,7 +37,7 @@ from ._pytree import AutoPyTree
 from .._jaxutil import skipifabstract
 
 __all__ = ['Decomposition', 'Chol', 'chol_nll', 'chol_nll_stream',
-           'chol_pred_stream', 'solve_batched']
+           'chol_nll_stream_grad', 'chol_pred_stream', 'solve_batched']
 
 
 def _float_eps(dtype):
@@ -785,3 +785,146 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
                      + n * jnp.log(2 * jnp.pi))
         out = out + (nll,)
     return out[0] if len(out) == 1 else out
+
+
+def _quad_forms_stream(profile, pvec, lenscale, eps, Xp, n, U, V,
+                       block, precision):
+    """sum_p u_p' (K(theta) + eps I) v_p over the COLUMNS of U and V
+    ((npad, m) each), with K computed strip by strip from the padded
+    points — differentiable in (pvec, lenscale, eps), one scan for all
+    probes, memory O(n*(block + m)).  Pad rows/cols masked exactly."""
+    npad = Xp.shape[0]
+    nstrips = npad // block
+    Xs = Xp / lenscale
+    mask = (jnp.arange(npad) < n).astype(Xp.dtype)
+    Um = U * mask[:, None]
+    Vm = V * mask[:, None]
+
+    # remat: differentiating through the scan would otherwise SAVE
+    # every strip's (block, npad) Gram for the backward pass — at
+    # n=65536 that is tens of GB (measured OOM); recomputing strips
+    # costs one extra O(n²·m/block) pass
+    @jax.checkpoint
+    def step(acc, j):
+        r0 = j * block
+        Xr = lax.dynamic_slice(Xs, (r0, 0), (block, Xs.shape[1]))
+        c = jnp.mean(Xr, axis=0, keepdims=True)
+        Xr2 = Xr - c
+        Xc2 = Xs - c
+        xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
+        xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
+        cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
+        r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+        Kb = profile(r2, *pvec)                      # (block, npad)
+        Urow = lax.dynamic_slice(Um, (r0, 0), (block, Um.shape[1]))
+        KV = jnp.dot(Kb, Vm, precision=precision)    # (block, m)
+        return acc + jnp.sum(Urow * KV), None
+
+    qf, _ = lax.scan(step, jnp.zeros((), Xp.dtype), jnp.arange(nstrips))
+    return qf + eps * jnp.sum(Um * Vm)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _nll_stream_core(pvec, lenscale, eps, X, y, profile, nprobes,
+                     seed, block, b1):
+    """Scalar streaming NLL over centered points X; the custom VJP
+    estimates the trace term with ``nprobes`` Rademacher probes."""
+    val, _ = _nll_stream_fwd(pvec, lenscale, eps, X, y, profile,
+                             nprobes, seed, block, b1)
+    return val
+
+
+def _nll_stream_fwd(pvec, lenscale, eps, X, y, profile, nprobes, seed,
+                    block, b1):
+    dtype = X.dtype
+    n = X.shape[0]
+    npad = -(-n // block) * block
+    Xp = jnp.zeros((npad, X.shape[1]), dtype).at[:n].set(X)
+    if npad != n:
+        Xp = Xp.at[n:].set(X[n - 1])
+    Xs = Xp / lenscale
+    xn = jnp.sum(Xs * Xs, axis=-1, keepdims=True)
+    params = tuple(pvec)
+    k0 = profile(jnp.zeros((1, 1), dtype), *params)[0, 0]
+    mach = _float_eps(dtype)
+    bump = _blocked._LIFT * mach * n * k0
+    prec = _blocked._precision('high')
+    tree, dinvs = _blocked._chol_rec_tree_gram(
+        Xs, xn, profile, params, eps + 4 * mach * k0, 0, npad // block,
+        block, b1, prec, bump, False, n)
+    ypad = jnp.concatenate([y, jnp.zeros(npad - n, dtype)])
+    zt = _blocked._tree_solve_right_t(ypad[None, :], tree, dinvs,
+                                      block, prec)
+    at = _blocked._tree_solve_right(zt, tree, dinvs, block, prec)
+    alpha = at[0]
+    quad = jnp.sum(jnp.square(zt))
+    logdiag = jnp.concatenate(_blocked._tree_leaf_logdiag(tree))[:n]
+    val = 0.5 * (quad + 2 * jnp.sum(logdiag)
+                 + n * jnp.log(2 * jnp.pi))
+    # Rademacher probes, masked to the real rows
+    key = jax.random.PRNGKey(seed)
+    V = jax.random.rademacher(
+        key, (npad, nprobes), dtype=dtype)
+    V = V * (jnp.arange(npad) < n).astype(dtype)[:, None]
+    Zt = _blocked._tree_solve_right_t(V.T, tree, dinvs, block, prec)
+    Wt = _blocked._tree_solve_right(Zt, tree, dinvs, block, prec)
+    W = Wt.T                                  # (npad, m) = K^-1 V
+    res = (pvec, lenscale, eps, Xp, n, y, alpha, V, W)
+    return val, res
+
+
+def _nll_stream_bwd(profile, nprobes, seed, block, b1, res, ct):
+    pvec, lenscale, eps, Xp, n, y, alpha, V, W = res
+    prec = _blocked._precision('high')
+
+    def surrogate(pv, ls, ep):
+        # d/dtheta [ 1/2 tr(K^-1 dK) - 1/2 a' dK a ] with a, V, W
+        # held fixed: 1/2 mean_p w_p' K(theta) v_p - 1/2 a' K(theta) a
+        tr = _quad_forms_stream(profile, pv, ls, ep, Xp, n, W, V,
+                                block, prec) / nprobes
+        qa = _quad_forms_stream(profile, pv, ls, ep, Xp, n,
+                                alpha[:, None], alpha[:, None], block,
+                                prec)
+        return 0.5 * (tr - qa)
+
+    gp_, gl_, ge_ = jax.grad(surrogate, argnums=(0, 1, 2))(
+        pvec, lenscale, eps)
+    ga = ct * alpha[:n]
+    return (jax.tree_util.tree_map(lambda g: ct * g, gp_),
+            ct * gl_, ct * ge_, jnp.zeros_like(Xp[:n]), ga)
+
+
+_nll_stream_core.defvjp(_nll_stream_fwd, _nll_stream_bwd)
+
+
+def chol_nll_stream_grad(profile, x, y, *, params=(), lenscale=None,
+                         epsabs=1e-4, nprobes=16, seed=0, block=512,
+                         b1=128):
+    """Differentiable streaming NLL: same never-materialized-Gram value
+    as :func:`chol_nll_stream`, plus a custom VJP whose trace term is a
+    Hutchinson estimate —
+
+        dV = 1/2 E_v[(K^-1 v)' dK v] - 1/2 a' dK a,   a = K^-1 y
+
+    with ``nprobes`` fixed Rademacher probes (``seed``), K-quadratic
+    forms streamed strip by strip, and exact gradients for the data
+    term (dV/dy = a).  Differentiable arguments: ``params`` (profile
+    parameters), ``lenscale`` (an isotropic input length scale applied
+    as x/lenscale — coordinates themselves carry no gradient), and
+    ``epsabs`` (the noise-floor nugget).  This is what gradient-based
+    `empbayes_fit` needs at sizes whose dense Gram exceeds memory
+    (n = 65536 single chip); the trace estimate has ~sqrt(2/nprobes)
+    relative noise, which quasi-Newton optimizers tolerate when the
+    probes are FIXED across iterations (the estimate is then a smooth
+    deterministic function of the hyperparameters).
+    """
+    from ..ops import _gram as _og
+
+    X, dtype = _og._prep(x)
+    X = (X - jnp.mean(X, axis=0, keepdims=True)).astype(dtype)
+    y = jnp.asarray(y, dtype)
+    pvec = tuple(jnp.asarray(v, dtype) for v in params)
+    ls = jnp.asarray(1.0 if lenscale is None else lenscale, dtype)
+    ep = jnp.asarray(epsabs, dtype)
+    return _nll_stream_core(pvec, ls, ep, X, y, profile, int(nprobes),
+                            int(seed), int(block), int(b1))

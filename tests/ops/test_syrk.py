@@ -239,3 +239,38 @@ def test_chol_pred_stream_matches_dense(rng):
                                np.asarray(post['s'].sdev) ** 2,
                                rtol=2e-2, atol=1e-4)
     assert np.isfinite(float(nll))
+
+
+def test_chol_nll_stream_grad_matches_dense(rng):
+    """Hutchinson-gradient streaming NLL vs the exact dense gradient:
+    the data term and dV/deps are exact; the amplitude/lenscale trace
+    terms carry ~sqrt(2/m) probe noise (m = 512 here)."""
+    from lsqfitgp_tpu.linalg import chol_nll, chol_nll_stream_grad
+
+    n = 256
+    x = np.sort(rng.uniform(-5, 5, n))
+    y = rng.standard_normal(n)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+
+    def f_stream(w):
+        return chol_nll_stream_grad(
+            profile, jnp.asarray(x, jnp.float32),
+            jnp.asarray(y, jnp.float32), params=(w[0],), lenscale=w[1],
+            epsabs=w[2], nprobes=512, seed=0, block=128, b1=128)
+
+    w0 = jnp.asarray([1.3, 1.7, 0.02], jnp.float32)
+    v, g = jax.value_and_grad(f_stream)(w0)
+
+    def f_dense(w):
+        xf = jnp.asarray(x, jnp.float32)
+        d2 = (xf[:, None] - xf[None, :]) ** 2
+        K = w[0] * jnp.exp(-0.5 * d2 / w[1] ** 2) \
+            + w[2] * jnp.eye(n, dtype=jnp.float32)
+        return chol_nll(K, jnp.asarray(y, jnp.float32),
+                        epsrel=0, epsabs=0)
+
+    vd, gd = jax.value_and_grad(f_dense)(w0)
+    assert abs(float(v) - float(vd)) / abs(float(vd)) < 1e-3
+    rel = np.abs(np.asarray(g) - np.asarray(gd)) \
+        / np.maximum(np.abs(np.asarray(gd)), 1e-3)
+    assert (rel < 0.2).all(), rel
