@@ -44,7 +44,8 @@ from .kernelalg import (
 from .kernels import *  # noqa: F401,F403
 from .kernels import __all__ as _zoo_all
 
-from .gp import GP, DefaultProcess
+from .gp import (GP, DefaultProcess, stream_marginal_likelihood,
+                 stream_pred)
 from .fit import empbayes_fit
 from .raniter import raniter, sample
 from .uncert import BufferDict, add_distribution

@@ -94,3 +94,52 @@ def test_fit_through_rich_model(rng):
     post = gp.predfromdata({'y': y}, ['f'])
     resid = np.asarray(post['f'].mean) - np.cos(2 * x)
     assert np.abs(resid).mean() < 0.15
+
+
+def test_streaming_kernel_frontend(rng):
+    """stream_marginal_likelihood / stream_pred on a KERNEL OBJECT
+    (the universal amp * ExpQuad(scale) fit form, structured inputs)
+    agree with the dense GP on the same model."""
+    n, ns, p = 280, 30, 3
+    feats = rng.standard_normal((n, p))
+    fstar = rng.standard_normal((ns, p))
+    xs = lgp.asarray({f'f{i}': feats[:, i] for i in range(p)})
+    xss = lgp.asarray({f'f{i}': fstar[:, i] for i in range(p)})
+    y = np.sin(feats @ np.ones(p)) + 0.1 * rng.standard_normal(n)
+    noise = 0.01
+    k = 1.4 * lgp.ExpQuad(scale=1.7)
+
+    ml = float(lgp.stream_marginal_likelihood(
+        k, xs, y, noisevar=noise, block=128, b1=128,
+        precision='highest'))
+    mean, var = lgp.stream_pred(
+        k, xs, y, xss, noisevar=noise, return_var=True, block=128,
+        b1=128, precision='highest')
+
+    gp = lgp.GP(k).addx(xs, 'd').addx(xss, 's')
+    want_ml = float(gp.marginal_likelihood(
+        {'d': y}, {('d', 'd'): noise * np.eye(n)}))
+    post = gp.predfromdata({'d': y}, ['s'],
+                           {('d', 'd'): noise * np.eye(n)})
+    np.testing.assert_allclose(ml, want_ml, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.asarray(post['s'].mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.asarray(post['s'].sdev) ** 2,
+                               rtol=3e-2, atol=1e-4)
+
+    # the gradient variant is differentiable in the hyperparameters
+    import jax
+    import jax.numpy as jnp
+
+    def negml(w):
+        kk = w[0] * lgp.ExpQuad(scale=w[1])
+        return -lgp.stream_marginal_likelihood(
+            kk, xs, jnp.asarray(y, jnp.float32), noisevar=w[2],
+            nprobes=256, block=128, b1=128)
+
+    w0 = jnp.asarray([1.4, 1.7, 0.01], jnp.float32)
+    v, g = jax.value_and_grad(negml)(w0)
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(float(v), -want_ml, rtol=1e-2)
