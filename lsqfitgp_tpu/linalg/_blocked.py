@@ -259,20 +259,28 @@ def _tree_assemble(tree, n, block):
     return place(L, tree, 0)[:n, :n]
 
 
-def _view_block(M, s, eps, base, r0, c0, h, w):
+def _view_block(M, s, eps, base, r0, c0, h, w, nreal=None):
     """Materialize one (h, w) block of the virtual matrix
     ``diag(s) M diag(s) + eps I`` whose (0, 0) sits at global offset
-    ``base`` inside M; (r0, c0) are global coordinates."""
+    ``base`` inside M; (r0, c0) are global coordinates.  ``eps`` is
+    applied only to diagonal entries with global index < ``nreal``
+    (identity-pad pivots must stay exactly 1, so they contribute
+    log 1 = 0 to the logdet — same semantics as ``_make_read``)."""
     A = M[r0 - base:r0 - base + h, c0 - base:c0 - base + w]
     if s is not None:
         A = A * s[r0:r0 + h, None] * s[None, c0:c0 + w]
     if eps is not None and r0 == c0:
-        A = A + eps * jnp.eye(h, w, dtype=A.dtype)
+        if nreal is None:
+            d = jnp.full(h, eps, A.dtype)
+        else:
+            gi = r0 + jnp.arange(h)
+            d = jnp.where(gi < nreal, eps, 0.0).astype(A.dtype)
+        A = A + jnp.diag(d)
     return A
 
 
 def _chol_rec_tree_pallas(M, s, eps, base, o, kb, block, b1, precision,
-                          bump, interpret=False):
+                          bump, interpret=False, nreal=None):
     """`_chol_rec_tree` with the Schur complement computed by the
     Pallas lower-trapezoid syrk kernel (:mod:`lsqfitgp_tpu.ops._syrk`)
     instead of a full-square ``jnp.dot(P, P.T)``.
@@ -289,14 +297,14 @@ def _chol_rec_tree_pallas(M, s, eps, base, o, kb, block, b1, precision,
     ones); TPU only.
     """
     if kb == 1:
-        D = _view_block(M, s, eps, base, o, o, block, block)
+        D = _view_block(M, s, eps, base, o, o, block, block, nreal)
         L, Linv = _factor_diag(D, b1, precision, bump)
         return L, [Linv]
     hb = (kb + 1) // 2
     h = hb * block
     w = (kb - hb) * block
     t11, d1 = _chol_rec_tree_pallas(M, s, eps, base, o, hb, block, b1,
-                                    precision, bump, interpret)
+                                    precision, bump, interpret, nreal)
     A21 = _view_block(M, s, None, base, o + h, o, w, h)
     P = _tree_solve_right_t(A21, t11, d1, block, precision)
     if w < 4096 and interpret is False:
@@ -305,7 +313,7 @@ def _chol_rec_tree_pallas(M, s, eps, base, o, kb, block, b1, precision,
         # >= 64 MB (far above VMEM) avoids XLA stack-placing the
         # custom-call buffers in scoped vmem (observed: a (2048, 2048)
         # output inside a cond branch scoped-allocated at 20.2M > 16M)
-        S = _view_block(M, s, eps, base, o + h, o + h, w, w) \
+        S = _view_block(M, s, eps, base, o + h, o + h, w, w, nreal) \
             - jnp.dot(P, P.T, precision=precision)
     else:
         from ..ops import _syrk
@@ -317,10 +325,12 @@ def _chol_rec_tree_pallas(M, s, eps, base, o, kb, block, b1, precision,
         # (rows=2, kchunk=512) exceeds the 16M VMEM budget
         S = _syrk.schur_update(
             M, P, s=s, eps=eps, size=w, offset=o + h - base, tile=block,
-            precision=precision, interpret=interpret)
+            precision=precision, interpret=interpret,
+            nreal=None if nreal is None else nreal - base)
     t22, d2 = _chol_rec_tree_pallas(S, None, None, o + h, o + h,
                                     kb - hb, block, b1, precision, bump,
-                                    interpret)
+                                    interpret,
+                                    None if eps is None else nreal)
     return (P, t11, t22), d1 + d2
 
 
@@ -350,7 +360,7 @@ def _chol_tree_impl(K, s, eps, block, b1, prec, lift):
             sp = jnp.concatenate(
                 [s, jnp.ones(npad - n, K.dtype)])
         return _chol_rec_tree_pallas(Kp, sp, eps, 0, 0, nb, block, b1,
-                                     precision_, bump)
+                                     precision_, bump, nreal=n)
     read = _make_read(K, s, eps, n)
     return _chol_rec_tree(read, 0, nb, block, b1, precision_, bump)
 
@@ -386,6 +396,7 @@ def _chol_factor_rec(K, s, eps, block, b1, precision, heal=True):
     return L, Dinv
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4, 5))
 def chol_factor_scaled_ladder(K, s, eps, eps2, block=512, b1=128):
     """The f32 'auto' three-rung factorization of
     ``diag(s) K diag(s) + eps I`` with ONE ``lax.cond`` on the common
@@ -403,6 +414,15 @@ def chol_factor_scaled_ladder(K, s, eps, eps2, block=512, b1=128):
 
     Returns ``(L, Dinv, eps_used, escalated)``; ``escalated`` is True
     when rung 3 (the large eps2) was used.
+
+    A ``custom_jvp`` supplies the analytic tangent
+    ``dL = L Φ(L⁻¹ dK_s L⁻ᵀ)`` computed from the FINAL (finite) factor,
+    so AD never descends into the rung graph — without it, a failed
+    rung's NaN primals poison reverse-mode cotangents even though the
+    escalation ``lax.cond`` picked a finite branch (round-3 finding:
+    ``jax.grad`` of the unfused f32 density returned NaN exactly when
+    the ladder escalated, while the fused ``chol_nll`` — whose rule
+    also reads only the final factor — stayed finite).
     """
     n = K.shape[0]
     eps = jnp.asarray(eps, K.dtype)
@@ -432,6 +452,25 @@ def chol_factor_scaled_ladder(K, s, eps, eps2, block=512, b1=128):
         None)
     L = _tree_assemble(tree, n, block)
     return L, Dinv, eps_used, escalated
+
+
+@chol_factor_scaled_ladder.defjvp
+def _chol_factor_scaled_ladder_jvp(block, b1, primals, tangents):
+    K, s, eps, eps2 = primals
+    dK, ds, deps, deps2 = tangents
+    L, Dinv, eps_used, escalated = chol_factor_scaled_ladder(
+        K, s, eps, eps2, block, b1)
+    # eps_used is literally eps or eps2, so its tangent follows the
+    # same selection; the factored matrix's tangent uses it on the
+    # diagonal
+    deps_used = jnp.where(escalated, deps2, deps)
+    dKs = dK * s[:, None] * s[None, :] \
+        + K * (ds[:, None] * s[None, :] + s[:, None] * ds[None, :]) \
+        + deps_used * jnp.eye(K.shape[0], dtype=K.dtype)
+    dL, dDinv = _factor_tangent(L, Dinv, dKs, block, None)
+    descalated = numpy.zeros(escalated.shape, jax.dtypes.float0)
+    return (L, Dinv, eps_used, escalated), \
+        (dL, dDinv, deps_used, descalated)
 
 
 def _cholesky_impl(K, block, b1, precision, lift=True, scheme='square'):
@@ -951,7 +990,8 @@ def _gram_block(X, xn, profile, params, r0, c0, h, w, precision=None,
 
 
 def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
-                        precision, bump, interpret=False, nreal=None):
+                        precision, bump, interpret=False, nreal=None,
+                        shard=None):
     """Streaming (matrix-free) recursive Cholesky: the virtual matrix is
     ``K + eps I`` with ``K[i, j] = profile(‖X_i − X_j‖²)`` COMPUTED on
     first touch — leaves and panels as plain fused XLA blocks, the
@@ -967,10 +1007,17 @@ def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
     """
     if nreal is None:
         nreal = X.shape[0]
+
+    def epsdiag(o0, w0):
+        # eps only on the REAL diagonal: identity-pad pivots stay
+        # exactly 1 (log 1 = 0), matching _make_read's semantics
+        gi = o0 + jnp.arange(w0)
+        return jnp.diag(jnp.where(gi < nreal, eps, 0.0).astype(X.dtype))
+
     if kb == 1:
         D = _gram_block(X, xn, profile, params, o, o, block, block,
                         nreal=nreal) \
-            + eps * jnp.eye(block, dtype=X.dtype)
+            + epsdiag(o, block)
         L, Linv = _factor_diag(D, b1, precision, bump)
         return L, [Linv]
     hb = (kb + 1) // 2
@@ -978,14 +1025,29 @@ def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
     w = (kb - hb) * block
     t11, d1 = _chol_rec_tree_gram(X, xn, profile, params, eps, o, hb,
                                   block, b1, precision, bump, interpret,
-                                  nreal)
+                                  nreal, shard)
     A21 = _gram_block(X, xn, profile, params, o + h, o, w, h,
                       nreal=nreal)
+    if shard is not None:
+        # row-sharding constraint: GSPMD partitions the Gram strip
+        # evaluation AND the (row-independent) panel solve to match
+        A21 = shard(A21)
     P = _tree_solve_right_t(A21, t11, d1, block, precision)
+    if shard is not None:
+        P = shard(P)
+        S = shard(
+            _gram_block(X, xn, profile, params, o + h, o + h, w, w,
+                        nreal=nreal)
+            + epsdiag(o + h, w)
+            - jnp.dot(P, P.T, precision=precision))
+        t22, d2 = _chol_rec_tree_dense_sharded(
+            S, o + h, o + h, kb - hb, block, b1, precision, bump,
+            shard)
+        return (P, t11, t22), d1 + d2
     if w < 4096 and interpret is False:
         S = _gram_block(X, xn, profile, params, o + h, o + h, w, w,
                         nreal=nreal) \
-            + eps * jnp.eye(w, dtype=X.dtype) \
+            + epsdiag(o + h, w) \
             - jnp.dot(P, P.T, precision=precision)
     else:
         from ..ops import _syrk
@@ -997,6 +1059,109 @@ def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
                                     kb - hb, block, b1, precision, bump,
                                     interpret)
     return (P, t11, t22), d1 + d2
+
+
+def _chol_rec_tree_dense_sharded(M, base, o, kb, block, b1, precision,
+                                 bump, shard):
+    """Recursive tree factorization of a MATERIALIZED (Schur) matrix M
+    with row-sharding constraints on every panel and trailing update —
+    the multi-chip companion of `_chol_rec_tree_pallas` (plain XLA
+    matmuls so GSPMD can partition them; the leaves are small and
+    replicated).  Same tree contract."""
+    if kb == 1:
+        D = M[o - base:o - base + block, o - base:o - base + block]
+        L, Linv = _factor_diag(D, b1, precision, bump)
+        return L, [Linv]
+    hb = (kb + 1) // 2
+    h = hb * block
+    w = (kb - hb) * block
+    t11, d1 = _chol_rec_tree_dense_sharded(M, base, o, hb, block, b1,
+                                           precision, bump, shard)
+    A21 = M[o + h - base:o + h - base + w, o - base:o - base + h]
+    P = shard(_tree_solve_right_t(A21, t11, d1, block, precision))
+    S = shard(
+        M[o + h - base:o + h - base + w, o + h - base:o + h - base + w]
+        - jnp.dot(P, P.T, precision=precision))
+    t22, d2 = _chol_rec_tree_dense_sharded(S, o + h, o + h, kb - hb,
+                                           block, b1, precision, bump,
+                                           shard)
+    return (P, t11, t22), d1 + d2
+
+
+def _tree_solve_right_t_skip(B, tree, dinvs, block, precision, o, c0):
+    """X = B L⁻ᵀ for B whose columns < ``c0`` (global; the tree spans
+    columns from ``o``) are identically zero.  Because L⁻ᵀ is upper
+    triangular, X's columns < c0 are then exactly zero too, so any
+    subtree entirely left of c0 is skipped (zeros emitted, no panel
+    dot).  Used by the exact streaming-gradient pass, where B is an
+    identity column strip: the skip turns the all-strips total from
+    ~n³/2 into ~n³/6 MACs."""
+    if not isinstance(tree, tuple):
+        if o + block <= c0:
+            return jnp.zeros_like(B)
+        return jnp.dot(B, dinvs[0].T, precision=precision)
+    P, t11, t22 = tree
+    h = P.shape[1]
+    hb = h // block
+    if o + h <= c0:
+        X1 = jnp.zeros_like(B[:, :h])
+        B2 = B[:, h:]
+    else:
+        X1 = _tree_solve_right_t_skip(B[:, :h], t11, dinvs[:hb], block,
+                                      precision, o, c0)
+        B2 = B[:, h:] - jnp.dot(X1, P.T, precision=precision)
+    X2 = _tree_solve_right_t_skip(B2, t22, dinvs[hb:], block, precision,
+                                  o + h, c0)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _tree_solve_right_skip(B, tree, dinvs, block, precision, o, c0):
+    """X = B L⁻¹ for B whose columns < ``c0`` are zero, with output
+    columns < c0 NOT needed by the caller (they are emitted as zeros
+    without being computed — unlike the transposed case they are not
+    mathematically zero).  Companion of `_tree_solve_right_t_skip` for
+    the second (K⁻¹-strip) solve of the exact streaming gradient,
+    where the skipped columns are recovered from symmetry."""
+    if not isinstance(tree, tuple):
+        if o + block <= c0:
+            return jnp.zeros_like(B)
+        return jnp.dot(B, dinvs[0], precision=precision)
+    P, t11, t22 = tree
+    h = P.shape[1]
+    hb = h // block
+    X2 = _tree_solve_right_skip(B[:, h:], t22, dinvs[hb:], block,
+                                precision, o + h, c0)
+    if o + h <= c0:
+        X1 = jnp.zeros_like(B[:, :h])
+    else:
+        B1 = B[:, :h] - jnp.dot(X2, P, precision=precision)
+        X1 = _tree_solve_right_skip(B1, t11, dinvs[:hb], block,
+                                    precision, o, c0)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _tree_mv(tree, v, precision):
+    """y = L v with L the factor tree and v (k,) or (k, m)."""
+    if not isinstance(tree, tuple):
+        return jnp.dot(tree, v, precision=precision)
+    P, t11, t22 = tree
+    h = P.shape[1]
+    y1 = _tree_mv(t11, v[:h], precision)
+    y2 = jnp.dot(P, v[:h], precision=precision) \
+        + _tree_mv(t22, v[h:], precision)
+    return jnp.concatenate([y1, y2], axis=0)
+
+
+def _tree_mv_t(tree, v, precision):
+    """y = Lᵀ v with L the factor tree."""
+    if not isinstance(tree, tuple):
+        return jnp.dot(tree.T, v, precision=precision)
+    P, t11, t22 = tree
+    h = P.shape[1]
+    y1 = _tree_mv_t(t11, v[:h], precision) \
+        + jnp.dot(P.T, v[h:], precision=precision)
+    y2 = _tree_mv_t(t22, v[h:], precision)
+    return jnp.concatenate([y1, y2], axis=0)
 
 
 def _tree_leaf_logdiag(tree):

@@ -62,7 +62,7 @@ def _dot_prec(a, b, dnums, precision, out_dtype):
 
 def _schur_kernel(ijk_ref, b_ref, sr_ref, sc_ref, e_ref, ai_ref,
                   aj_ref, o_ref, *, precision, tile, rtile, with_b,
-                  with_scale, with_eps):
+                  with_scale, with_eps, nreal):
     p = pl.program_id(0)
 
     @pl.when(ijk_ref[3, p] == 1)
@@ -80,7 +80,12 @@ def _schur_kernel(ijk_ref, b_ref, sr_ref, sc_ref, e_ref, ai_ref,
                 + i * rtile
             cols = lax.broadcasted_iota(jnp.int32, (rtile, tile), 1) \
                 + j * tile
-            t = jnp.where(rows == cols, t + e_ref[0, 0], t)
+            ondiag = rows == cols
+            if nreal is not None:
+                # eps only on the REAL diagonal: identity padding must
+                # stay exactly 1 (log 1 = 0 in the logdet)
+                ondiag = ondiag & (rows < nreal)
+            t = jnp.where(ondiag, t + e_ref[0, 0], t)
         o_ref[...] = t
 
     acc = _dot_prec(ai_ref[...], aj_ref[...], (((1,), (1,)), ((), ())),
@@ -102,7 +107,7 @@ def _as_precision(precision):
 
 def schur_update(B, A, *, s=None, eps=None, size=None, offset=0,
                  tile=512, kchunk=512, rows=1, precision=None,
-                 interpret=None):
+                 interpret=None, nreal=None):
     """Lower-trapezoid tiles of ``S = diag(s) B diag(s) + eps I − A Aᵀ``
     where B is the ``(size, size)`` sub-square of a larger array at
     ``(offset, offset)`` — the view is taken through the kernel's index
@@ -114,6 +119,9 @@ def schur_update(B, A, *, s=None, eps=None, size=None, offset=0,
     eps : scalar or None — diagonal shift fused into the load
     size, offset : view geometry; both multiples of ``tile``
     (offset defaults to 0, size to A.shape[0]).
+    nreal : optional GLOBAL index bound; eps is applied only to
+    diagonal entries with global index < nreal, so an identity-padded
+    tail stays exactly 1 (its pivots contribute log 1 = 0).
 
     ``kchunk`` defaults to 512: at HIGH precision the in-kernel bf16_3x
     split holds 4 bf16 chunk copies + 3 f32 partials in VMEM, and a
@@ -153,7 +161,10 @@ def schur_update(B, A, *, s=None, eps=None, size=None, offset=0,
                 Bs = Bs * sl[:, None] * sl[None, :]
             S = S + Bs
         if eps is not None:
-            S = S + eps * jnp.eye(size, dtype=dtype)
+            gi = offset + jnp.arange(size)
+            d = jnp.where(gi < (size + offset if nreal is None
+                                else nreal), eps, 0.0)
+            S = S + jnp.diag(d.astype(dtype))
         keep = jnp.tril(
             jnp.ones((nt, nt), bool)
         ).repeat(tile, 0).repeat(tile, 1)
@@ -200,6 +211,8 @@ def schur_update(B, A, *, s=None, eps=None, size=None, offset=0,
         _schur_kernel, precision=_as_precision(precision), tile=tile,
         rtile=rtile, with_b=with_b, with_scale=with_scale,
         with_eps=eps is not None,
+        # kernel row/col indices are local to the (size, size) output
+        nreal=None if nreal is None else nreal - offset,
     )
     from jax.experimental.pallas import tpu as pltpu
     if with_b:
@@ -320,7 +333,8 @@ def syrk_t_full(W, *, lower=True, tile=512, kchunk=512,
 
 def _schur_gram_kernel(ijk_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
                        p_ref, ai_ref, aj_ref, o_ref, *, profile,
-                       nparams, precision, tile, with_eps, nreal):
+                       nparams, precision, tile, with_eps, nreal,
+                       offset):
     """Gram-fused Schur update: the output tile is INITIALIZED with the
     kernel matrix computed from the point tiles (r² on the MXU + the
     profile fused in VMEM, exactly like the tiled Gram evaluator) and
@@ -355,10 +369,14 @@ def _schur_gram_kernel(ijk_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
         t = profile(r2, *(p_ref[k, 0] for k in range(nparams)))
         i = ijk_ref[0, p]
         j = ijk_ref[1, p]
+        # GLOBAL indices: i/j are tile positions inside the (size,
+        # size) output sub-square, which sits at ``offset`` in the
+        # virtual matrix — the pad masks compare against nreal in
+        # global coordinates
         rows = lax.broadcasted_iota(jnp.int32, (tile, tile), 0) \
-            + i * tile
+            + i * tile + offset
         cols = lax.broadcasted_iota(jnp.int32, (tile, tile), 1) \
-            + j * tile
+            + j * tile + offset
         # padding tail by GLOBAL index: the virtual matrix is exactly
         # blockdiag(K, I) — no far-point pad coordinates, hence no
         # profile-decay contract, and mixed real/pad tiles stay exact
@@ -366,7 +384,9 @@ def _schur_gram_kernel(ijk_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
         t = jnp.where(real, t, 0.0)
         t = jnp.where((rows == cols) & (rows >= nreal), 1.0, t)
         if with_eps:
-            t = jnp.where(rows == cols, t + p_ref[nparams, 0], t)
+            # eps only on the REAL diagonal (pad pivots stay exactly 1)
+            t = jnp.where((rows == cols) & (rows < nreal),
+                          t + p_ref[nparams, 0], t)
         o_ref[...] = t.astype(o_ref.dtype)
 
     acc = _dot_prec(ai_ref[...], aj_ref[...], (((1,), (1,)), ((), ())),
@@ -417,7 +437,8 @@ def schur_update_gram(profile, X, xn, A, *, params=(), eps=None,
         S = jnp.where((gi[:, None] == gi[None, :])
                       & (gi[:, None] >= nreal), 1.0, S)
         if eps is not None:
-            S = S + pvec[nparams, 0] * jnp.eye(size, dtype=dtype)
+            S = S + jnp.diag(jnp.where(gi < nreal, pvec[nparams, 0],
+                                       0.0).astype(dtype))
         S = S - jnp.dot(A, A.T, precision=_as_precision(precision))
         keep = jnp.tril(jnp.ones((nt, nt), bool)) \
             .repeat(tile, 0).repeat(tile, 1)
@@ -443,7 +464,7 @@ def schur_update_gram(profile, X, xn, A, *, params=(), eps=None,
         kernel = functools.partial(
             _schur_gram_kernel, profile=profile, nparams=nparams,
             precision=_as_precision(precision), tile=tile,
-            with_eps=eps is not None, nreal=nreal,
+            with_eps=eps is not None, nreal=nreal, offset=offset,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -482,7 +503,7 @@ def schur_update_gram(profile, X, xn, A, *, params=(), eps=None,
     kernel = functools.partial(
         _schur_gram_kernel2, profile=profile, nparams=nparams,
         precision=_as_precision(precision), tile=tile,
-        with_eps=eps is not None, nreal=nreal,
+        with_eps=eps is not None, nreal=nreal, offset=offset,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -515,7 +536,8 @@ def schur_update_gram(profile, X, xn, A, *, params=(), eps=None,
 
 def _schur_gram_kernel2(ij_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
                         p_ref, ai_ref, aj_ref, o_ref, *, profile,
-                        nparams, precision, tile, with_eps, nreal):
+                        nparams, precision, tile, with_eps, nreal,
+                        offset):
     """2-D-grid variant of `_schur_gram_kernel` (pairs x k-steps): the
     k index comes from the grid instead of the work table, so the
     prefetched table is (2, npairs) — at n=65536 the flat (4, N)
@@ -545,15 +567,17 @@ def _schur_gram_kernel2(ij_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
         t = profile(r2, *(p_ref[q, 0] for q in range(nparams)))
         i = ij_ref[0, p]
         j = ij_ref[1, p]
+        # global coordinates (see _schur_gram_kernel)
         rows = lax.broadcasted_iota(jnp.int32, (tile, tile), 0) \
-            + i * tile
+            + i * tile + offset
         cols = lax.broadcasted_iota(jnp.int32, (tile, tile), 1) \
-            + j * tile
+            + j * tile + offset
         real = (rows < nreal) & (cols < nreal)
         t = jnp.where(real, t, 0.0)
         t = jnp.where((rows == cols) & (rows >= nreal), 1.0, t)
         if with_eps:
-            t = jnp.where(rows == cols, t + p_ref[nparams, 0], t)
+            t = jnp.where((rows == cols) & (rows < nreal),
+                          t + p_ref[nparams, 0], t)
         o_ref[...] = t.astype(o_ref.dtype)
 
     acc = _dot_prec(ai_ref[...], aj_ref[...], (((1,), (1,)), ((), ())),

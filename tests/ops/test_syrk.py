@@ -70,10 +70,13 @@ def test_syrk_t_full(rng, n):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got).T)
 
 
-def test_chol_rec_pallas_matches_plain(rng):
+@pytest.mark.parametrize('eps', [1e-3, 0.25])
+def test_chol_rec_pallas_matches_plain(rng, eps):
     """The emulated-Pallas recursive factorization agrees with the
     plain recursive scheme (same L up to roundoff) including scaling,
-    eps, and a non-block-multiple size."""
+    eps, and a non-block-multiple size.  The large-eps case is the
+    regression for eps leaking onto the identity-pad pivots (round-3
+    ADVICE: the logdet then carried a (npad-n)·log(1+eps) bias)."""
     from lsqfitgp_tpu.linalg import _blocked
 
     n = 300
@@ -83,7 +86,7 @@ def test_chol_rec_pallas_matches_plain(rng):
         np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2)
         + 0.1 * np.eye(n), jnp.float32)
     s = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
-    eps = jnp.float32(1e-3)
+    eps = jnp.float32(eps)
 
     prec = _blocked._precision('highest')
     nb = -(-n // block)
@@ -92,7 +95,7 @@ def test_chol_rec_pallas_matches_plain(rng):
     sp = jnp.concatenate([s, jnp.ones(npad - n, K.dtype)])
     tree, dinvs = _blocked._chol_rec_tree_pallas(
         Kp, sp, eps, 0, 0, nb, block, 128, prec, None,
-        interpret='pallas')
+        interpret='pallas', nreal=n)
     L = _blocked._tree_assemble(tree, n, block)
 
     read = _blocked._make_read(K, s, eps, n)
@@ -241,13 +244,18 @@ def test_chol_pred_stream_matches_dense(rng):
     assert np.isfinite(float(nll))
 
 
-def test_chol_nll_stream_grad_matches_dense(rng):
-    """Hutchinson-gradient streaming NLL vs the exact dense gradient:
-    the data term and dV/deps are exact; the amplitude/lenscale trace
-    terms carry ~sqrt(2/m) probe noise (m = 512 here)."""
+@pytest.mark.parametrize('exact,n,gradblock,rtol', [
+    (True, 256, 128, 0.02),    # exact rule, strips narrower than n
+    (True, 300, 512, 0.02),    # exact rule, one strip + pad tail
+    (False, 256, 128, 0.2),    # Hutchinson fallback (512 probes)
+])
+def test_chol_nll_stream_grad_matches_dense(rng, exact, n, gradblock,
+                                            rtol):
+    """Streaming NLL gradient vs the dense gradient.  The exact rule
+    (default) must match to f32 roundoff; the Hutchinson fallback's
+    amplitude/lenscale trace terms carry ~sqrt(2/m) probe noise."""
     from lsqfitgp_tpu.linalg import chol_nll, chol_nll_stream_grad
 
-    n = 256
     x = np.sort(rng.uniform(-5, 5, n))
     y = rng.standard_normal(n)
     profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
@@ -256,7 +264,8 @@ def test_chol_nll_stream_grad_matches_dense(rng):
         return chol_nll_stream_grad(
             profile, jnp.asarray(x, jnp.float32),
             jnp.asarray(y, jnp.float32), params=(w[0],), lenscale=w[1],
-            epsabs=w[2], nprobes=512, seed=0, block=128, b1=128)
+            epsabs=w[2], exact=exact, nprobes=512, seed=0, block=128,
+            b1=128, gradblock=gradblock)
 
     w0 = jnp.asarray([1.3, 1.7, 0.02], jnp.float32)
     v, g = jax.value_and_grad(f_stream)(w0)
@@ -271,6 +280,100 @@ def test_chol_nll_stream_grad_matches_dense(rng):
 
     vd, gd = jax.value_and_grad(f_dense)(w0)
     assert abs(float(v) - float(vd)) / abs(float(vd)) < 1e-3
-    rel = np.abs(np.asarray(g) - np.asarray(gd)) \
-        / np.maximum(np.abs(np.asarray(gd)), 1e-3)
-    assert (rel < 0.2).all(), rel
+    # the amplitude gradient is cancellation-dominated (trace term
+    # ~ +n/2a against quad term ~ -n/2a), so the honest f32 floor is
+    # an ABSOLUTE tolerance at the scale of the cancelled terms
+    # (~2e-4 of the NLL), plus the relative tolerance elsewhere
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gd), rtol=rtol,
+        atol=(2e-4 if exact else 2e-3) * abs(float(vd)))
+
+
+def test_chol_nll_stream_grad_exact_jit_grad_of_grad_free(rng):
+    """The exact rule composes with jit and with vmap-free higher-order
+    use is not required — but jit(value_and_grad) must compile and
+    agree with the eager result."""
+    from lsqfitgp_tpu.linalg import chol_nll_stream_grad
+
+    n = 200
+    x = np.sort(rng.uniform(-3, 3, n))
+    y = rng.standard_normal(n)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+
+    def f(w):
+        return chol_nll_stream_grad(
+            profile, jnp.asarray(x, jnp.float32),
+            jnp.asarray(y, jnp.float32), params=(w[0],), lenscale=w[1],
+            epsabs=w[2], exact=True, block=128, b1=128, gradblock=128)
+
+    w0 = jnp.asarray([1.1, 1.3, 0.05], jnp.float32)
+    v1, g1 = jax.value_and_grad(f)(w0)
+    v2, g2 = jax.jit(jax.value_and_grad(f))(w0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_schur_update_pad_eps(rng):
+    """eps must not leak onto the identity-pad diagonal (ADVICE round
+    3): with nreal set, pad pivots stay exactly B's values (no +eps)."""
+    tile = 128
+    size, offset = 256, 128
+    nreal = offset + size - 50          # last 50 rows are padding
+    mb = offset + size
+    h = 128
+    A = jnp.asarray(rng.standard_normal((size, h)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((mb, mb)), jnp.float32)
+    eps = jnp.float32(0.25)
+    got = schur_update(B, A, eps=eps, size=size, offset=offset,
+                       tile=tile, kchunk=128, precision='highest',
+                       interpret='pallas', nreal=nreal)
+    ref = _ref_schur(B, A, None, None, size, offset, tile)
+    gi = offset + np.arange(size)
+    ref = ref + np.diag(np.where(gi < nreal, 0.25, 0.0))
+    nt = size // tile
+    keep = np.tril(np.ones((nt, nt), bool)) \
+        .repeat(tile, 0).repeat(tile, 1)
+    np.testing.assert_allclose(np.asarray(got)[keep], ref[keep],
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_schur_update_gram_offset_pads(rng):
+    """Pad masking must use GLOBAL indices: with offset > 0 and
+    nreal < npad, the pad rows/columns of the output sub-square are
+    exactly blockdiag(K, I) (regression: the kernels compared local
+    tile indices against the global nreal, so offset sub-squares
+    treated pad rows as real points)."""
+    from lsqfitgp_tpu.ops._syrk import schur_update_gram
+
+    tile = 128
+    size, offset, npts = 256, 128, 2
+    npad = offset + size
+    nreal = npad - 40                   # last 40 rows are padding
+    X = jnp.asarray(rng.standard_normal((npad, npts)), jnp.float32)
+    X = X.at[nreal:].set(X[nreal - 1])  # pads repeat the last point
+    xn = jnp.sum(X * X, axis=-1, keepdims=True)
+    A = jnp.asarray(rng.standard_normal((size, 128)), jnp.float32)
+    amp = jnp.float32(1.7)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+    eps = jnp.float32(0.25)
+    got = schur_update_gram(
+        profile, X, xn, A, params=(amp,), eps=eps, nreal=nreal,
+        size=size, offset=offset, tile=tile, kchunk=128,
+        precision='highest', interpret='pallas')
+    # reference: exact blockdiag(K, I) + masked eps - A A'
+    Xs = np.asarray(X, np.float64)
+    r2 = ((Xs[:, None] - Xs[None, :]) ** 2).sum(-1)
+    K = 1.7 * np.exp(-0.5 * r2)
+    gi = np.arange(npad)
+    real = (gi[:, None] < nreal) & (gi[None, :] < nreal)
+    K = np.where(real, K, 0.0)
+    K[np.arange(nreal, npad), np.arange(nreal, npad)] = 1.0
+    K = K + np.diag(np.where(gi < nreal, 0.25, 0.0))
+    ref = K[offset:, offset:] \
+        - np.asarray(A, np.float64) @ np.asarray(A, np.float64).T
+    nt = size // tile
+    keep = np.tril(np.ones((nt, nt), bool)) \
+        .repeat(tile, 0).repeat(tile, 1)
+    np.testing.assert_allclose(np.asarray(got)[keep], ref[keep],
+                               rtol=2e-5, atol=2e-4)
