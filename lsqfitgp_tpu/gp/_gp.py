@@ -78,11 +78,22 @@ class GP:
         Kernel of the default process.
     solver : str
         Decomposition used for posteriors: 'chol' (single-chip blocked
-        MXU Cholesky) or 'chol-distributed' (mesh-distributed
+        MXU Cholesky), 'chol-distributed' (mesh-distributed
         factorization + solves; pass ``mesh=`` and optionally
         ``axis=``/``block=`` as extra keywords — the covariance lives
         row-sharded over the mesh and no device materializes more than
-        its strip).
+        its strip), or 'chol-stream' (the never-materialized-Gram
+        streaming pipeline: the Gram matrix is computed inside the
+        factorization and never exists in memory, extending one chip
+        to n = 65536; `marginal_likelihood` carries the EXACT
+        hand-derived gradient, `pred` returns means/variances/small
+        dense output covariances.  The model must reduce to "one
+        isotropic-kernel process + iid noise": a single ``addx`` data
+        element whose process kernel is an isotropic constructor
+        optionally inside scalar ``amp * k + c`` chains and an
+        additive ``sigma2 * White()`` term, plus optionally a SCALAR
+        ``givencov``.  Anything else raises with a diagnostic.  Extra
+        keywords: ``block``, ``b1``, ``gradblock``.)
     checkpos, checksym, checkfinite, checklin : bool
         Eager sanity checks (run at trace time, compile away).
     posepsfac : float
@@ -98,6 +109,8 @@ class GP:
         kernel core; 'auto' (default) tiles on TPU for large blocks.
     """
 
+    _SOLVERS = ('chol', 'chol-distributed', 'chol-stream')
+
     def __init__(self, covfun=None, *, solver='chol', checkpos=True,
                  checksym=True, checkfinite=True, checklin=True,
                  posepsfac=1, halfmatrix=False, gram='auto', **kw):
@@ -107,6 +120,9 @@ class GP:
         self._covblock_cache = {}
         self._decomp_cache = {}
         self._user_decomps = {}
+        if solver not in self._SOLVERS:
+            raise KeyError(f'unknown solver {solver!r}, must be one '
+                           f'of {self._SOLVERS}')
         self._solverkw = dict(kw)
         self._solver = solver
         if gram not in ('auto', 'tiled', 'broadcast'):
@@ -612,6 +628,11 @@ class GP:
         spec = getattr(kernel, '_fastgram', None)
         if spec is None:
             return None
+        if spec.noise is not None or spec.core is None:
+            # δ-noise components need the exact x==y comparison of the
+            # broadcast core (duplicate points, cross blocks); the
+            # tiled r² engine cannot represent them
+            return None
         from ..kernelalg import _fastgram as fg
         cols_a = fg.leaf_columns(ea.x)
         cols_b = cols_a if eb is ea else fg.leaf_columns(eb.x)
@@ -729,6 +750,13 @@ class GP:
         kw = {**self._solverkw, **decompkw}
         if self._solver == 'chol':
             return Chol(K, **kw)
+        if self._solver == 'chol-stream':
+            raise RuntimeError(
+                "solver='chol-stream' never materializes the Gram "
+                "matrix, so there is no dense decomposition; use "
+                "marginal_likelihood/predfromdata (which stream), or "
+                "solver='chol'"
+            )
         if self._solver == 'chol-distributed':
             # the mesh-distributed Decomposition: K enters row-sharded
             # (the constraint also makes XLA partition the assembly),
@@ -749,6 +777,199 @@ class GP:
             from ..parallel import CholDistributed
             return CholDistributed(jnp.asarray(posdefmatrix), **kw)
         raise KeyError(f'unknown solver {solver!r}')
+
+    # -- streaming solver (never-materialized Gram) ----------------------------
+
+    def _stream_kw(self):
+        kw = self._solverkw
+        out = dict(block=kw.get('block', 512), b1=kw.get('b1', 128))
+        if 'precision' in kw:
+            out['precision'] = kw['precision']
+        return out
+
+    def _stream_model(self, inkeys, givencov):
+        """Reduce the model to (profile, params, X, lenscale,
+        noise_kernel, noise_total) for the streaming pipeline, or raise
+        a diagnostic ValueError naming the constraint that failed."""
+        from ..kernelalg import _fastgram as fg
+
+        def bail(msg):
+            raise ValueError(
+                "solver='chol-stream' needs a model of the form 'one "
+                "isotropic-kernel process + iid noise' (a single addx "
+                "element, kernel = isotropic constructor optionally "
+                "inside scalar amp*k + c chains and + sigma2*White() "
+                f"sums, scalar givencov): {msg}"
+            )
+
+        if len(inkeys) != 1:
+            bail(f'got {len(inkeys)} data elements, need exactly 1')
+        el = self._elements[inkeys[0]]
+        if not isinstance(el, _Points):
+            bail('the data element must come from addx')
+        if el.deriv:
+            bail('derivative elements are not streamable')
+        proc = self._procs[el.proc]
+        if not isinstance(proc, _ProcKernel):
+            bail('the data process must be a plain kernel process')
+        spec = getattr(proc.kernel, '_fastgram', None)
+        if spec is None:
+            bail('the kernel carries no fast-Gram spec (use an '
+                 'isotropic constructor kernel; transformations other '
+                 'than scalar mul/add and White sums drop it)')
+        if spec.core is None:
+            bail('the kernel has no isotropic profile (pure noise)')
+        cols = fg.leaf_columns(el.x)
+        if cols is None:
+            bail('inputs outside the fast path (non-numeric leaves)')
+        p = len(cols)
+        if spec.maxdim is not None and not (
+            isinstance(spec.maxdim, float) and math.isinf(spec.maxdim)
+        ) and p > spec.maxdim:
+            bail(f'{p} input dims exceed the kernel maxdim '
+                 f'{spec.maxdim}')
+        profile, params = fg.build_profile(spec)
+        X = fg.transform_points(spec._replace(scale=None), cols)
+        noise_kernel = spec.noise
+        noise_total = noise_kernel
+        if givencov is not None:
+            gcov = jnp.asarray(givencov)
+            if gcov.ndim == 0:
+                noise_total = gcov if noise_total is None \
+                    else noise_total + gcov
+            else:
+                bail('givencov must be a SCALAR iid noise variance on '
+                     'the streaming solver (a full matrix would '
+                     'materialize n²; heteroskedastic diagonals are '
+                     "not yet supported) — or use solver='chol'")
+        return profile, params, X, spec.scale, noise_kernel, \
+            noise_total
+
+    def _stream_flat(self, given):
+        if not isinstance(given, dict):
+            raise TypeError('given must be a dict')
+        inkeys = list(given)
+        for k in inkeys:
+            self._checkelkey(k, new=False)
+        vals = []
+        for k in inkeys:
+            v = given[k]
+            if isinstance(v, uncert.UArray):
+                raise ValueError(
+                    "solver='chol-stream' takes plain-array data + a "
+                    "scalar givencov noise variance (UArray data "
+                    "would materialize its n² covariance)"
+                )
+            vals.append(jnp.asarray(v).reshape(-1))
+        return inkeys, (vals[0] if len(vals) == 1
+                        else jnp.concatenate(vals))
+
+    def _stream_nll(self, given, givencov):
+        """-log marginal likelihood through the streaming pipeline with
+        the EXACT gradient custom VJP (the fit objective at sizes whose
+        dense Gram cannot exist)."""
+        from ..linalg import chol_nll_stream_grad
+
+        inkeys, y = self._stream_flat(given)
+        profile, params, X, lenscale, _, noise = \
+            self._stream_model(inkeys, givencov)
+        if self._checks['finite']:
+            def check():
+                assert jnp.all(jnp.isfinite(y)), 'non-finite data'
+            _jaxutil.skipifabstract(check)
+        kw = self._stream_kw()
+        kw['gradblock'] = self._solverkw.get('gradblock')
+        return chol_nll_stream_grad(
+            profile, X, y, params=params, lenscale=lenscale,
+            epsabs=0.0 if noise is None else noise, exact=True, **kw)
+
+    def _stream_pred(self, given, key, givencov, *, fromdata, raw,
+                     keepcorr):
+        from ..linalg import chol_pred_stream
+
+        if fromdata is not True:
+            raise ValueError(
+                "solver='chol-stream' supports predfromdata only "
+                "(fromfit's A' ycov A correction needs the dense "
+                "posterior operator)"
+            )
+        if keepcorr:
+            raise ValueError(
+                "keepcorr=True joint priors would materialize n²; use "
+                "keepcorr=False on the streaming solver"
+            )
+        single = key is not None and not isinstance(key, (list, tuple))
+        if key is None:
+            outkeys = [k for k in self._elements if k not in given]
+        elif single:
+            outkeys = [key]
+        else:
+            outkeys = list(key)
+        inkeys, y = self._stream_flat(given)
+        profile, params, X, lenscale, noise_kernel, noise = \
+            self._stream_model(inkeys, givencov)
+        from ..kernelalg import _fastgram as fg
+        proc = self._elements[inkeys[0]].proc
+        spec = getattr(self._procs[proc].kernel, '_fastgram')
+        cols = []
+        shapes = []
+        for k in outkeys:
+            self._checkelkey(k, new=False)
+            el = self._elements[k]
+            if not isinstance(el, _Points) or el.deriv \
+                    or el.proc != proc:
+                raise ValueError(
+                    "streaming pred outputs must be plain addx points "
+                    "of the SAME process as the data"
+                )
+            ck = fg.leaf_columns(el.x)
+            if ck is None:
+                raise ValueError('output inputs outside the fast path')
+            cols.append(ck)
+            shapes.append(el.shape)
+        Xs = jnp.concatenate(
+            [fg.transform_points(spec._replace(scale=None), ck)
+             for ck in cols], axis=0)
+        if lenscale is not None:
+            X = X / lenscale
+            Xs = Xs / lenscale
+        kw = self._stream_kw()
+        mean, cov = chol_pred_stream(
+            profile, X, y, Xs, params=params,
+            epsabs=0.0 if noise is None else noise, return_cov=True,
+            **kw)
+        if noise_kernel is not None:
+            # the process kernel's White component contributes to the
+            # OUTPUT prior variance too (same semantics as the dense
+            # GP: K(x*, x*) has the δ on its diagonal)
+            cov = cov + noise_kernel \
+                * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        if raw:
+            if single:
+                return mean.reshape(shapes[0]), cov
+            means = {}
+            i = 0
+            for k, sh in zip(outkeys, shapes):
+                m = _size(sh)
+                means[k] = mean[i:i + m].reshape(sh)
+                i += m
+            covs = {}
+            offs = numpy.cumsum(
+                [0] + [_size(sh) for sh in shapes]).tolist()
+            for i, k1 in enumerate(outkeys):
+                for j, k2 in enumerate(outkeys):
+                    covs[k1, k2] = cov[
+                        offs[i]:offs[i + 1], offs[j]:offs[j + 1]
+                    ].reshape(shapes[i] + shapes[j])
+            return means, covs
+        u = uncert.from_cov(mean, cov)
+        out = {}
+        i = 0
+        for k, sh in zip(outkeys, shapes):
+            m = _size(sh)
+            out[k] = u[i:i + m].reshape(sh)
+            i += m
+        return out[outkeys[0]] if single else out
 
     # -- data flattening ---------------------------------------------------------
 
@@ -872,6 +1093,10 @@ class GP:
         if fromdata is None:
             raise ValueError('specify fromdata=True/False, or use '
                              'predfromdata/predfromfit')
+        if self._solver == 'chol-stream':
+            return self._stream_pred(given, key, givencov,
+                                     fromdata=fromdata, raw=raw,
+                                     keepcorr=keepcorr)
         single = key is not None and not isinstance(key, (list, tuple))
         if key is None:
             outkeys = [k for k in self._elements if k not in given]
@@ -988,7 +1213,11 @@ class GP:
         :func:`linalg.chol_nll`, whose hand-derived reverse rule makes
         ``jax.grad`` cost ~4x the forward pass instead of AD-through-
         the-factorization's ~10-16x (reference gradrev counterpart:
-        ``_linalg/_decomp.py:441-586``)."""
+        ``_linalg/_decomp.py:441-586``).  On 'chol-stream' it goes
+        through the never-materialized-Gram pipeline with the exact
+        streaming gradient."""
+        if self._solver == 'chol-stream':
+            return self._stream_nll(given, givencov)
         parts = self._prior_nll_parts(given, givencov, **decompkw)
         if parts is not None:
             K, ymean, kw = parts
@@ -1011,6 +1240,12 @@ class GP:
         Used by the fit driver's Fisher-vector products, where
         derivatives of K(p) must not flow through a Cholesky
         (reference ``_fit.py:604-643`` ``make_decomp`` analog)."""
+        if self._solver == 'chol-stream':
+            raise RuntimeError(
+                "method/covariance='fisher' assemble the dense (K, r) "
+                "and are unavailable with solver='chol-stream'; use "
+                "covariance='minhess' or 'hess'"
+            )
         inkeys, ymean, ycov, _ = self._flatgiven(given, givencov)
         K = self._assemble(inkeys, inkeys)
         if ycov is not None:

@@ -5,15 +5,14 @@ The low-level entry points (:func:`lsqfitgp_tpu.linalg.chol_nll_stream`,
 ``chol_nll_stream_grad``, ``chol_pred_stream``) take a raw scalar
 profile; these wrappers accept a KERNEL OBJECT carrying a fast-Gram
 spec (any isotropic constructor, optionally wrapped in the universal
-``amp * k(scale=...) + c`` scalar chains — the same dispatch the tiled
-Gram evaluator uses) plus structured or plain inputs, and route to the
-streaming machinery.  This is the single-chip big-n companion of
-``GP.marginal_likelihood``/``predfromdata`` for models of the form
-"one isotropic process + iid noise":
+``amp * k(scale=...) + c`` scalar chains and ``+ sigma2 * White()``
+noise sums — the same dispatch the tiled Gram evaluator uses) plus
+structured or plain inputs, and route to the streaming machinery.
 
-    K_obs = k(x, x) + noisevar I
-
-at sizes where the dense Gram cannot exist (n = 65536 on 16 GB).
+These predate the first-class streaming GP solver
+(``GP(solver='chol-stream')``, which serves the same models through
+the standard ``marginal_likelihood``/``predfromdata`` surface and is
+the recommended entry point); they remain as thin functional forms.
 """
 
 from __future__ import annotations
@@ -28,64 +27,82 @@ __all__ = ['stream_marginal_likelihood', 'stream_pred']
 
 def _extract(kernel, x):
     spec = getattr(kernel, '_fastgram', None)
-    if spec is None:
+    if spec is None or spec.core is None:
         raise ValueError(
             'kernel carries no fast-Gram spec: the streaming pipeline '
             'needs an isotropic constructor kernel (optionally inside '
-            'scalar mul/add chains), e.g. amp * ExpQuad(scale=s)'
+            'scalar mul/add chains and White sums), e.g. '
+            'amp * ExpQuad(scale=s) + n * White()'
         )
     cols = _fg.leaf_columns(_array.asarray(x))
     if cols is None:
         raise ValueError('inputs outside the fast path (non-numeric '
                          'leaves)')
     profile, params = _fg.build_profile(spec)
+    # loc folds here, scale stays a separate (differentiable) lenscale
     X = _fg.transform_points(spec._replace(scale=None), cols)
-    if spec.loc is not None:
-        X = X - spec.loc
     lenscale = None if spec.scale is None else spec.scale
-    return profile, params, X, lenscale
+    return profile, params, X, lenscale, spec.noise
 
 
-def stream_marginal_likelihood(kernel, x, y, *, noisevar, nprobes=None,
-                               **kw):
+def stream_marginal_likelihood(kernel, x, y, *, noisevar=None,
+                               nprobes=None, **kw):
     """log p(y | x, kernel, noisevar) for ``y ~ N(0, k(x, x) +
     noisevar I)`` with the Gram computed inside the factorization
-    (never materialized).  With ``nprobes`` set, the result carries the
-    Hutchinson-gradient custom VJP (differentiable in the kernel's
-    traced scalar hyperparameters, its ``scale``, and ``noisevar``);
-    without it, value-only.  Same sign convention as
-    ``GP.marginal_likelihood`` (a LOG density, to maximize)."""
-    from ..linalg import chol_nll_stream, chol_nll_stream_grad
+    (never materialized), differentiable in the kernel's traced scalar
+    hyperparameters, its ``scale``, any White-kernel noise amplitude,
+    and ``noisevar`` — with the EXACT streaming gradient rule by
+    default (pass ``nprobes`` to use the cheaper Hutchinson trace
+    estimate instead).  A White component of the kernel adds to
+    ``noisevar``.  Same sign convention as ``GP.marginal_likelihood``
+    (a LOG density, to maximize)."""
+    from ..linalg import chol_nll_stream_grad
 
-    profile, params, X, lenscale = _extract(kernel, x)
-    if nprobes is None:
-        Xs = X if lenscale is None else X / lenscale
-        nll = chol_nll_stream(profile, Xs, y, params=params,
-                              epsabs=noisevar, **kw)
-    else:
-        nll = chol_nll_stream_grad(
-            profile, X, y, params=params, lenscale=lenscale,
-            epsabs=noisevar, nprobes=nprobes, **kw)
+    profile, params, X, lenscale, knoise = _extract(kernel, x)
+    noise = jnp.zeros(())
+    if noisevar is not None:
+        noise = noise + noisevar
+    if knoise is not None:
+        noise = noise + knoise
+    nll = chol_nll_stream_grad(
+        profile, X, y, params=params, lenscale=lenscale,
+        epsabs=noise, exact=nprobes is None,
+        nprobes=16 if nprobes is None else nprobes, **kw)
     return -nll
 
 
-def stream_pred(kernel, x, y, xstar, *, noisevar, return_var=False,
-                **kw):
-    """Streaming posterior mean (and optionally variances) of the
-    latent process at ``xstar`` given ``y = f(x) + N(0, noisevar)``
-    observations — `GP.predfromdata` for the one-process + iid-noise
-    model at never-materialized-Gram sizes."""
+def stream_pred(kernel, x, y, xstar, *, noisevar=None,
+                return_var=False, return_cov=False, **kw):
+    """Streaming posterior mean (and optionally variances or the full
+    small output covariance) of the process at ``xstar`` given ``y =
+    f(x) + N(0, noisevar)`` observations — `GP.predfromdata` for the
+    one-process + iid-noise model at never-materialized-Gram sizes.
+    A White component of the kernel counts as part of the process, so
+    it enters the data diagonal AND the output prior variance."""
     from ..linalg import chol_pred_stream
 
-    profile, params, X, lenscale = _extract(kernel, x)
+    profile, params, X, lenscale, knoise = _extract(kernel, x)
+    spec = getattr(kernel, '_fastgram')
     Xs = _fg.transform_points(
-        getattr(kernel, '_fastgram')._replace(scale=None),
+        spec._replace(scale=None),
         _fg.leaf_columns(_array.asarray(xstar)))
-    if getattr(kernel, '_fastgram').loc is not None:
-        Xs = Xs - getattr(kernel, '_fastgram').loc
     if lenscale is not None:
         X = X / lenscale
         Xs = Xs / lenscale
-    return chol_pred_stream(profile, X, y, Xs, params=params,
-                            epsabs=noisevar, return_var=return_var,
-                            **kw)
+    noise = jnp.zeros(())
+    if noisevar is not None:
+        noise = noise + noisevar
+    if knoise is not None:
+        noise = noise + knoise
+    out = chol_pred_stream(profile, X, y, Xs, params=params,
+                           epsabs=noise, return_var=return_var,
+                           return_cov=return_cov, **kw)
+    if knoise is not None and (return_var or return_cov):
+        parts = list(out) if isinstance(out, tuple) else [out]
+        if return_cov:
+            parts[1] = parts[1] + knoise * jnp.eye(
+                parts[1].shape[0], dtype=parts[1].dtype)
+        else:
+            parts[1] = parts[1] + knoise
+        out = tuple(parts) if len(parts) > 1 else parts[0]
+    return out

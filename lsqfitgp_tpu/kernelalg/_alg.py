@@ -32,6 +32,15 @@ def add(tcls, self, other):
     elif isinstance(other, CrossKernel):
         ocore = other.core
         newcore = lambda x, y, **kw: core(x, y, **kw) + ocore(x, y, **kw)
+        new = self._clone(core=newcore)
+        # kernel sums keep the fast-Gram dispatch when one side is a
+        # noise/constant spec (White / Constant chains): the universal
+        # observation model amp*iso + c + sigma2*White() then reaches
+        # the streaming GP solver with the noise factored out
+        from . import _fastgram
+        new._fastgram = _fastgram.add_specs(self._fastgram,
+                                            other._fastgram)
+        return new
     else:
         return NotImplemented
     return self._clone(core=newcore)

@@ -37,7 +37,8 @@ __all__ = ['FastGramSpec', 'make_spec', 'leaf_columns', 'build_profile']
 FastGramSpec = collections.namedtuple(
     'FastGramSpec',
     ['core', 'mode', 'static_kw', 'dyn_names', 'dyn_values', 'scale',
-     'loc', 'maxdim', 'post'],
+     'loc', 'maxdim', 'post', 'noise'],
+    defaults=(None,),
 )
 # post: ordered chain of ('mul'|'add', scalar) applied OUTSIDE the
 # profile, accumulated by the `mul`/`add` algops so the universal fit
@@ -46,6 +47,14 @@ FastGramSpec = collections.namedtuple(
 # spec, so the Pallas engine never engaged inside empbayes_fit models).
 # The scalars (traced or not) ride the positional parameter vector of
 # ops.gram alongside dyn_values, so hyperparameter gradients flow.
+#
+# noise: scalar coefficient of an additive White (δ_xy) component, or
+# None for exactly zero.  Accumulated when a White kernel is summed in
+# (``k + sigma2 * White()``, the universal regression observation
+# model) so the streaming GP solver can factor the model into
+# "profile + iid noise" — the profile/post chain NEVER includes it.
+# ``core=None`` means a zero base profile (a pure-noise spec, e.g. a
+# bare White), with the post chain still applying on top of 0.
 
 # constructor arguments consumed by CrossKernel.__new__ itself
 _RESERVED = {
@@ -112,21 +121,81 @@ def make_spec(core, mode, kw):
     return FastGramSpec(
         core=core, mode=mode, static_kw=static_kw,
         dyn_names=tuple(dyn_names), dyn_values=tuple(dyn_values),
-        scale=scale, loc=loc, maxdim=maxdim, post=(),
+        scale=scale, loc=loc, maxdim=maxdim, post=(), noise=None,
+    )
+
+
+# identity cores of δ-noise kernels (the White kernel registers its
+# wrapped core here so the constructor can attach a pure-noise spec)
+NOISE_CORES = []
+
+
+def make_noise_spec(kw):
+    """Spec of a bare White kernel (pure δ-noise), or None when the
+    construction arguments change its semantics.  ``scale``/``loc``
+    are irrelevant for discrete equality (x == y ⇔ (x−l)/s == (y−l)/s
+    for scalar s ≠ 0), so they are accepted and dropped."""
+    if kw.get('dim') is not None or kw.get('forcekron') \
+            or kw.get('dynkw'):
+        return None
+    maxdim = kw.get('maxdim')
+    if isinstance(maxdim, tuple):
+        return None
+    return FastGramSpec(
+        core=None, mode='squared', static_kw={}, dyn_names=(),
+        dyn_values=(), scale=None, loc=None, maxdim=maxdim, post=(),
+        noise=jnp.ones(()),
     )
 
 
 def post_spec(spec, op, value):
     """Spec of ``op(kernel, scalar)`` for op in 'mul'/'add', or None.
     The chain is ordered, so ``(k + c) * a`` and ``k * a + c`` stay
-    distinct."""
+    distinct.  A scalar 'mul' scales the noise component too
+    (a·(k + nδ) = a·k + a·n·δ); a scalar 'add' leaves it alone."""
     if spec is None or not _is_scalar_value(value):
         return None
     try:
         v = jnp.reshape(jnp.asarray(value), ())
     except TypeError:
         return None
-    return spec._replace(post=spec.post + ((op, v),))
+    noise = spec.noise
+    if op == 'mul' and noise is not None:
+        noise = noise * v
+    return spec._replace(post=spec.post + ((op, v),), noise=noise)
+
+
+def _chain_const(spec):
+    """The constant profile of a core-less spec: its post chain applied
+    to a zero base."""
+    out = jnp.zeros(())
+    for op, v in spec.post:
+        out = out * v if op == 'mul' else out + v
+    return out
+
+
+def add_specs(sa, sb):
+    """Spec of the SUM of two kernels, or None when the combination
+    leaves the fast path.  Supported: either side is core-less (pure
+    noise / constant chains) — its constant folds into the other
+    side's post chain as one 'add', and the noises add.  Two profiled
+    kernels stay on the broadcast path (their distance geometries
+    need not agree)."""
+    if sa is None or sb is None:
+        return None
+    if sb.core is None:
+        base, flat = sa, sb
+    elif sa.core is None:
+        base, flat = sb, sa
+    else:
+        return None
+    noise = base.noise
+    if flat.noise is not None:
+        noise = flat.noise if noise is None else noise + flat.noise
+    post = base.post
+    if flat.post:
+        post = post + (('add', _chain_const(flat)),)
+    return base._replace(post=post, noise=noise)
 
 
 def leaf_columns(x):
@@ -174,6 +243,13 @@ def build_profile(spec):
     def profile(r2, *params):
         dyn = params[:nd]
         postv = params[nd:]
+        if core is None:
+            # pure-noise / constant spec: zero base profile, the post
+            # chain (if any) applies on top
+            out = jnp.zeros_like(r2)
+            for op, v in zip(post_ops, postv):
+                out = out * v if op == 'mul' else out + v
+            return out
         kwargs = dict(static_kw)
         kwargs.update(zip(dyn_names, dyn))
         if mode == 'squared':

@@ -25,7 +25,14 @@ class CrossIsotropicKernel(_stationary.CrossStationaryKernel):
 
     def __new__(cls, core, *, input='squared', **kw):
         if input == 'raw':
-            return _core.CrossKernel.__new__(cls, core, **kw)
+            self = _core.CrossKernel.__new__(cls, core, **kw)
+            if any(core is c for c in _fastgram.NOISE_CORES) \
+                    and not self._dynkw:
+                # δ-noise kernels (White) carry a pure-noise spec so
+                # k + sigma2*White() keeps the fast-Gram dispatch with
+                # the noise factored out (streaming GP solver)
+                self._fastgram = _fastgram.make_noise_spec(kw)
+            return self
 
         if input in ('squared', 'abs'):
             dist = lambda x, y: jnp.square(x - y)

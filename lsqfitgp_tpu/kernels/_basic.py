@@ -10,6 +10,7 @@ from __future__ import annotations
 import collections
 import re
 
+import jax
 import numpy
 from jax import numpy as jnp
 from jax.scipy import special as jspecial
@@ -42,6 +43,13 @@ def White(x, y):
     ).astype(int)
 
 
+# register White's core as a δ-noise kernel: its instances carry a
+# pure-noise fast-Gram spec, so sums like amp*ExpQuad() + s2*White()
+# keep the tiled/streaming dispatch with the noise factored out
+from ..kernelalg import _fastgram as _fg  # noqa: E402
+_fg.NOISE_CORES.append(White.__wrapped__)
+
+
 @isotropickernel(derivable=True)
 def ExpQuad(r2):
     r"""Exponential quadratic (squared-exponential / RBF) kernel:
@@ -72,6 +80,13 @@ def GammaExp(r2, gamma=1):
     # at r2 = 0 for γ < 2 (r2^{γ/2-1} → ∞ would turn the exact-zero
     # dr2 of coincident points into inf·0 = NaN hyperparameter
     # gradients); the value shift is ~tiny^{γ/2}, far below eps.
+    if not isinstance(gamma, jax.core.Tracer) and gamma == 2:
+        # static γ=2: emit ONLY the smooth branch.  The phantom
+        # (r2+tiny)^(γ/2) branch of the where stays differentiable for
+        # two passes, but its THIRD derivative carries tiny^(γ/2-3),
+        # which overflows to ∞ and makes where's 0·∞ cotangent NaN —
+        # hit by diff(1,1)+scale-gradient chains at coincident points
+        return jnp.exp(-r2)
     tiny = jnp.finfo(jnp.result_type(r2, 1.0)).tiny
     nondiff = jnp.exp(-((r2 + tiny) ** (gamma / 2)))
     diff = jnp.exp(-r2)
@@ -188,9 +203,13 @@ def Cauchy(r2, alpha=2, beta=2):
         assert 0 < alpha <= 2, alpha
         assert 0 < beta, beta
     _jaxutil.skipifabstract(check)
-    # same singular-derivative guard as GammaExp for α < 2
-    tiny = jnp.finfo(jnp.result_type(r2, 1.0)).tiny
-    power = jnp.where(alpha == 2, r2, (r2 + tiny) ** (alpha / 2))
+    # same singular-derivative guard (and static-α=2 where-elision,
+    # see GammaExp: the phantom branch's 3rd derivative is 0·∞ = NaN)
+    if not isinstance(alpha, jax.core.Tracer) and alpha == 2:
+        power = r2
+    else:
+        tiny = jnp.finfo(jnp.result_type(r2, 1.0)).tiny
+        power = jnp.where(alpha == 2, r2, (r2 + tiny) ** (alpha / 2))
     return (1 + power / beta) ** (-beta / alpha)
 
 

@@ -1,0 +1,185 @@
+"""GP(solver='chol-stream'): the streaming pipeline as a first-class
+GP solver — marginal_likelihood / predfromdata / empbayes_fit through
+the standard public surface only (round-3 VERDICT item: streaming must
+not be a side API)."""
+
+import numpy as np
+import pytest
+import jax
+from jax import numpy as jnp
+
+import lsqfitgp_tpu as lgp
+
+
+@pytest.fixture
+def model(rng):
+    n, ns = 280, 25
+    x = np.sort(rng.uniform(-5, 5, n)).astype(np.float32)
+    xs = np.linspace(-4.5, 4.5, ns).astype(np.float32)
+    y = (np.sin(1.5 * x) + 0.1 * rng.standard_normal(n)) \
+        .astype(np.float32)
+    return x, xs, y
+
+
+STREAMKW = dict(solver='chol-stream', block=128, b1=128)
+
+
+def test_white_kernel_model_matches_dense(model):
+    """amp*ExpQuad(scale) + noise*White() — noise folded in the kernel;
+    streaming ML and posterior match the dense solver."""
+    x, xs, y = model
+    noise = 0.01
+    k = 1.4 * lgp.ExpQuad(scale=1.7) + noise * lgp.White()
+    assert k._fastgram is not None and k._fastgram.noise is not None
+
+    gps = lgp.GP(k, **STREAMKW).addx(x, 'd').addx(xs, 's')
+    gpd = lgp.GP(k).addx(x, 'd').addx(xs, 's')
+
+    ml_s = float(gps.marginal_likelihood({'d': y}))
+    ml_d = float(gpd.marginal_likelihood({'d': y}))
+    np.testing.assert_allclose(ml_s, ml_d, rtol=2e-3)
+
+    post_s = gps.predfromdata({'d': y}, 's')
+    post_d = gpd.predfromdata({'d': y}, 's')
+    np.testing.assert_allclose(np.asarray(post_s.mean),
+                               np.asarray(post_d.mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(post_s.sdev),
+                               np.asarray(post_d.sdev),
+                               rtol=3e-2, atol=1e-3)
+
+
+def test_scalar_givencov_matches_dense(model):
+    """Noise outside the kernel: a SCALAR givencov is the streaming
+    form of the iid noise matrix."""
+    x, xs, y = model
+    noise = np.float32(0.01)
+    k = 1.4 * lgp.ExpQuad(scale=1.7)
+    n = x.size
+
+    gps = lgp.GP(k, **STREAMKW).addx(x, 'd').addx(xs, 's')
+    gpd = lgp.GP(k).addx(x, 'd').addx(xs, 's')
+
+    ml_s = float(gps.marginal_likelihood({'d': y}, noise))
+    ml_d = float(gpd.marginal_likelihood(
+        {'d': y}, {('d', 'd'): float(noise) * np.eye(n)}))
+    np.testing.assert_allclose(ml_s, ml_d, rtol=2e-3)
+
+    post_s = gps.predfromdata({'d': y}, 's', noise)
+    post_d = gpd.predfromdata(
+        {'d': y}, 's', {('d', 'd'): float(noise) * np.eye(n)})
+    np.testing.assert_allclose(np.asarray(post_s.mean),
+                               np.asarray(post_d.mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(post_s.sdev),
+                               np.asarray(post_d.sdev),
+                               rtol=3e-2, atol=1e-3)
+
+
+def test_raw_and_multi_key_outputs(model):
+    x, xs, y = model
+    k = 1.2 * lgp.ExpQuad(scale=1.5) + 0.02 * lgp.White()
+    gps = lgp.GP(k, **STREAMKW).addx(x, 'd') \
+        .addx(xs[:10], 'a').addx(xs[10:], 'b')
+    mean, cov = gps.predfromdata({'d': y}, 'a', raw=True)
+    assert mean.shape == (10,) and cov.shape == (10, 10)
+    means, covs = gps.predfromdata({'d': y}, ['a', 'b'], raw=True)
+    assert means['a'].shape == (10,) and means['b'].shape == (15,)
+    assert covs['a', 'b'].shape == (10, 15)
+    # joint dict output consistent with single-key calls
+    post = gps.predfromdata({'d': y}, ['a', 'b'])
+    np.testing.assert_allclose(np.asarray(post['a'].mean), means['a'],
+                               rtol=1e-5)
+
+
+def test_marginal_likelihood_is_differentiable(model):
+    """The streaming ML through the GP object carries the exact
+    gradient: jax.grad of a traced-hyperparameter model matches the
+    dense chol_nll gradient."""
+    x, _, y = model
+    n = x.size
+
+    def ml_stream(w):
+        k = w[0] * lgp.ExpQuad(scale=w[1]) + w[2] * lgp.White()
+        gp = lgp.GP(k, checkpos=False, checksym=False, **STREAMKW) \
+            .addx(x, 'd')
+        return gp.marginal_likelihood({'d': y})
+
+    def ml_dense(w):
+        xf = jnp.asarray(x)
+        d2 = (xf[:, None] - xf[None, :]) ** 2
+        K = w[0] * jnp.exp(-0.5 * d2 / w[1] ** 2) \
+            + w[2] * jnp.eye(n, dtype=jnp.float32)
+        from lsqfitgp_tpu.linalg import chol_nll
+        return -chol_nll(K, jnp.asarray(y), epsrel=0, epsabs=0)
+
+    w0 = jnp.asarray([1.4, 1.7, 0.02], jnp.float32)
+    v_s, g_s = jax.value_and_grad(ml_stream)(w0)
+    v_d, g_d = jax.value_and_grad(ml_dense)(w0)
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=0.02, atol=2e-4 * abs(float(v_d)))
+
+
+def test_empbayes_fit_through_public_api(rng):
+    """The round-3 'done' criterion: a streaming fit goes through
+    gpfactory/data only, no custom_nll."""
+    n = 300
+    x = np.sort(rng.uniform(-5, 5, n)).astype(np.float32)
+    y = (np.sin(1.2 * x) + 0.1 * rng.standard_normal(n)) \
+        .astype(np.float32)
+
+    def gpfactory(hp):
+        k = hp['amp'] * lgp.ExpQuad(scale=hp['scale']) \
+            + hp['noise'] * lgp.White()
+        return lgp.GP(k, **STREAMKW).addx(x, 'd')
+
+    fit = lgp.empbayes_fit(
+        {'log(amp)': (0.0, 1.0), 'log(scale)': (0.0, 1.0),
+         'log(noise)': (np.log(0.01), 1.0)},
+        gpfactory, {'d': y}, raises=False)
+    noise = float(fit.pmean['noise'])
+    scale = float(fit.pmean['scale'])
+    assert 0.004 < noise < 0.03, noise
+    assert 0.5 < scale < 5.0, scale
+
+
+def test_diagnostic_messages(model):
+    x, _, y = model
+    n = x.size
+    # two data elements
+    gp0 = lgp.GP(lgp.ExpQuad(), **STREAMKW) \
+        .addx(x, 'a').addx(x + 1.0, 'b')
+    with pytest.raises(ValueError, match='need exactly 1'):
+        gp0.marginal_likelihood({'a': y, 'b': y})
+    # transformed kernel drops the spec
+    k = lgp.ExpQuad().linop('rescale', lambda t: 1 + t ** 2)
+    gp = lgp.GP(k, **STREAMKW).addx(x, 'd')
+    with pytest.raises(ValueError, match='fast-Gram spec'):
+        gp.marginal_likelihood({'d': y})
+    # matrix givencov
+    gp2 = lgp.GP(lgp.ExpQuad(), **STREAMKW).addx(x, 'd')
+    with pytest.raises(ValueError, match='SCALAR'):
+        gp2.marginal_likelihood({'d': y}, 0.01 * np.eye(n))
+    # derivative element
+    gp3 = lgp.GP(lgp.ExpQuad(), **STREAMKW).addx(x, 'd', deriv=1)
+    with pytest.raises(ValueError, match='[Dd]erivative'):
+        gp3.marginal_likelihood({'d': y})
+    # predfromfit unsupported
+    gp4 = lgp.GP(lgp.ExpQuad(), **STREAMKW).addx(x, 'd') \
+        .addx(x[:5] + 0.5, 's')
+    with pytest.raises(ValueError, match='predfromdata only'):
+        gp4.predfromfit({'d': y}, 's', np.float32(0.01))
+
+
+def test_dense_solver_unaffected_by_white_spec(model):
+    """The White-noise spec must not change the DENSE path's values
+    (the tiled engine bails out to the broadcast core on noise
+    specs)."""
+    x, _, y = model
+    n = x.size
+    k = 1.4 * lgp.ExpQuad(scale=1.7) + 0.01 * lgp.White()
+    got = np.asarray(lgp.GP(k).addx(x, 'd').prior('d', raw=True))
+    d2 = (x[:, None] - x[None, :]) ** 2
+    want = 1.4 * np.exp(-0.5 * d2 / 1.7 ** 2) + 0.01 * np.eye(n)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
