@@ -21,3 +21,4 @@ from ._pchol import (
     cyclic_permutation,
 )
 from ._dchol import CholDistributed
+from ._dstream import stream_nll_distributed_grad

@@ -222,9 +222,12 @@ class CholDistributed(Decomposition):
         )
 
     def fisher(self, dK, dr):
-        """Fisher matrix; the (P, n, n) derivative stack is solved one
-        parameter at a time (lax.map) through the distributed solves,
-        so peak extra memory is O(n²) not O(P n²)."""
+        """Fisher matrix from the explicit (P, n, n) derivative stack.
+        The solves run one parameter at a time (``lax.map``) to bound
+        the solve WORKSPACE at O(n²), but the A and B result stacks are
+        (P, n, n) each — the explicit-Fisher formula needs every B_i
+        simultaneously for the pairwise trace contraction.  For large P
+        use ``fishvec_cotangent`` (true O(n²) memory per product)."""
         s = self._s
 
         def one(dKi):

@@ -178,3 +178,34 @@ def test_empbayes_fit_distributed_gp(mesh):
     )
     scale = float(fit.p['scale'].mean)
     assert 0.2 < scale < 5.0
+
+
+def test_dchol_assembly_never_materializes_full_gram():
+    """HLO-inspection guarantee (round-3 VERDICT item): the compiled
+    module for a CholDistributed-based NLL contains NO full (n, n)
+    buffer — the Gram assembly, scaling, regularization, factorization,
+    and solves all run on (n/D, n) row strips, so no device ever
+    materializes the n² matrix.  (The property is doubly enforced: the
+    explicit with_sharding_constraint on entry AND the shard_map
+    factorization's in_specs both steer GSPMD's backward propagation.)
+    """
+    import re
+    from lsqfitgp_tpu.parallel import CholDistributed
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ('r',))
+    n = 512
+
+    def nll(x, y):
+        d2 = (x[:, None] - x[None, :]) ** 2
+        K = jnp.exp(-0.5 * d2) + 0.05 * jnp.eye(n, dtype=x.dtype)
+        dec = CholDistributed(K, mesh=mesh, block=64)
+        return dec.minus_log_normal_density(y)
+
+    x = jnp.linspace(-3, 3, n, dtype=jnp.float32)
+    y = jnp.sin(x)
+    txt = jax.jit(nll).lower(x, y).compile().as_text()
+    full = re.findall(rf'f32\[{n},{n}\]', txt)
+    assert not full, f'{len(full)} full ({n}, {n}) buffers in the ' \
+        f'compiled HLO - the distributed assembly replicated'
+    # and the row strips DO appear (the test is looking at real HLO)
+    assert re.findall(rf'f32\[{n // 8},{n}\]', txt)

@@ -364,3 +364,41 @@ def test_cyclic_permutation_validates():
         cyclic_permutation(512, 4, 256)  # block > n/ndev
     p = cyclic_permutation(128, 4, 16)
     assert sorted(p) == list(range(128))
+
+
+def test_stream_nll_distributed_grad_matches_dense(rng):
+    """Multi-chip streaming: the row-sharded never-materialized-Gram
+    NLL (+ exact gradient) on the virtual mesh matches the dense
+    single-device chol_nll."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from lsqfitgp_tpu.parallel import stream_nll_distributed_grad
+    from lsqfitgp_tpu.linalg import chol_nll
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ('r',))
+    n = 256
+    x = np.sort(rng.uniform(-5, 5, n))
+    y = rng.standard_normal(n)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+
+    def f(w):
+        return stream_nll_distributed_grad(
+            profile, jnp.asarray(x, jnp.float32),
+            jnp.asarray(y, jnp.float32), params=(w[0],), lenscale=w[1],
+            epsabs=w[2], mesh=mesh, block=128, b1=128, gradblock=128)
+
+    w0 = jnp.asarray([1.3, 1.7, 0.02], jnp.float32)
+    v, g = jax.jit(jax.value_and_grad(f))(w0)
+
+    def f_dense(w):
+        xf = jnp.asarray(x, jnp.float32)
+        d2 = (xf[:, None] - xf[None, :]) ** 2
+        K = w[0] * jnp.exp(-0.5 * d2 / w[1] ** 2) \
+            + w[2] * jnp.eye(n, dtype=jnp.float32)
+        return chol_nll(K, jnp.asarray(y, jnp.float32),
+                        epsrel=0, epsabs=0)
+
+    vd, gd = jax.value_and_grad(f_dense)(w0)
+    np.testing.assert_allclose(float(v), float(vd), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
+                               rtol=0.02, atol=2e-4 * abs(float(vd)))
