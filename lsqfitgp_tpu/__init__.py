@@ -22,7 +22,9 @@ from ._array import (
     empty_like,
 )
 from ._deriv import Deriv
-from ._config import default_float, disable_checks, set_checks
+from ._config import (
+    default_float, disable_checks, set_checks, enable_compile_cache,
+)
 from ._jaxutil import (
     elementwise_grad, batchufunc, fasthash64, fasthash32,
 )

@@ -26,6 +26,7 @@ __all__ = [
     'checks_enabled',
     'disable_checks',
     'set_checks',
+    'enable_compile_cache',
 ]
 
 
@@ -68,3 +69,37 @@ def disable_checks():
 
 def set_checks(value):
     _state.checks = bool(value)
+
+
+def enable_compile_cache(path=None, min_compile_secs=0.5):
+    """Point XLA's persistent compilation cache at ``path`` (default
+    ``$LSQFITGP_TPU_CACHE`` or ``~/.cache/lsqfitgp_tpu/xla``).
+
+    Called automatically on import (round-3 finding: fit wallclock was
+    ~99.7% XLA compilation on repeat runs — a 6-iteration n=4096 fit
+    spent 84 s compiling a 30 ms optimization).  Warm processes skip
+    every previously-seen compilation.  Opt out with
+    ``LSQFITGP_TPU_NO_CACHE=1`` or by pointing the config elsewhere;
+    harmless no-op if the jax version lacks the options.
+    """
+    import os
+
+    if path is None:
+        path = os.environ.get('LSQFITGP_TPU_CACHE') or os.path.join(
+            os.path.expanduser('~'), '.cache', 'lsqfitgp_tpu', 'xla')
+    try:
+        os.makedirs(path, exist_ok=True)
+        # respect an existing user-set cache dir
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update('jax_compilation_cache_dir', str(path))
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs',
+                float(min_compile_secs))
+    except Exception:
+        pass
+
+
+import os as _os  # noqa: E402
+
+if _os.environ.get('LSQFITGP_TPU_NO_CACHE', '') in ('', '0'):
+    enable_compile_cache()

@@ -167,6 +167,15 @@ class empbayes_fit:
         vs likelihood) via host-callback marks threaded through the
         compiled objective; read them from ``.phase_timer.totals()``.
         Adds callback latency — leave off in production fits.
+    profile_dir : str, optional
+        Capture a ``jax.profiler`` trace of the whole minimization into
+        this directory (viewable in TensorBoard / Perfetto).  The fit
+        phases appear as named scopes inside the compiled objective
+        (``empbayes_fit.gpbuild`` / ``.decomp`` / ``.likelihood``), and
+        each objective evaluation is wrapped in a host-side
+        ``TraceAnnotation`` so minimizer overhead separates from XLA
+        time — the ``jax.profiler`` arm of the tracing subsystem
+        (SURVEY §5), composing with the ``timing`` callbacks.
     custom_nll : callable, optional
         ``custom_nll(hp) -> scalar`` replaces the GP-built marginal
         likelihood entirely (``gpfactory``/``data`` may be omitted):
@@ -196,7 +205,7 @@ class empbayes_fit:
                  covariance='auto', fix=None, additional_loss=None,
                  jit=True, raises=True, verbosity=0, minkw={}, mlkw={},
                  gpfactorykw={}, forward=False, seed=0, timing=False,
-                 custom_nll=None):
+                 custom_nll=None, profile_dir=None):
         log = Logger(verbosity)
         self.log = log
         if custom_nll is None and (gpfactory is None or data is None):
@@ -255,6 +264,12 @@ class empbayes_fit:
         else:
             self.phase_timer = None
 
+        # dtype the LIKELIHOOD part is computed in (recorded at trace
+        # time): an f32 model under an x64 session sets the gradient
+        # noise floor at the f32 eps even though the whitened-prior
+        # term promotes the total objective to f64
+        nll_dtype = [None]
+
         def nll(w):
             # jax.profiler annotations mark the fit phases in TPU traces
             # in addition to the optional PhaseTimer callbacks
@@ -277,6 +292,23 @@ class empbayes_fit:
                     else:
                         g, gcov = given, givencov
                     gp = gpfactory(hp, **gpfactorykw)
+                if getattr(gp, '_solver', None) == 'chol-stream':
+                    # never-materialized-Gram pipeline with the exact
+                    # streaming gradient: the fit objective at sizes
+                    # whose dense Gram cannot exist (n = 65536/chip)
+                    with jax.named_scope('empbayes_fit.stream_nll'):
+                        out = gp._prior_nll(g, gcov, **mlkw)
+                        if pt is not None:
+                            out = pt.mark(out, 'gpbuild+decomp')
+                    with jax.named_scope('empbayes_fit.prior'):
+                        nll_dtype[0] = getattr(out, 'dtype', None)
+                        wfree = jnp.where(fixmask, 0.0, w)
+                        out = out + 0.5 * jnp.dot(wfree, wfree)
+                        if additional_loss is not None:
+                            out = out + additional_loss(hp)
+                        if pt is not None:
+                            out = pt.mark(out, 'likelihood')
+                    return out
                 with jax.named_scope('empbayes_fit.decomp'):
                     # fused factorization+density (linalg.chol_nll)
                     # when the model allows: the hand-derived reverse
@@ -303,6 +335,7 @@ class empbayes_fit:
                     else:
                         out = dec.minus_log_normal_density(r)
             with jax.named_scope('empbayes_fit.prior'):
+                nll_dtype[0] = getattr(out, 'dtype', None)
                 wfree = jnp.where(fixmask, 0.0, w)
                 out = out + 0.5 * jnp.dot(wfree, wfree)
                 if additional_loss is not None:
@@ -358,6 +391,13 @@ class empbayes_fit:
 
         log.log(f'empbayes_fit: {nparam} hyperparameters, '
                 f'method={method!r}, optimizer={optimizer!r}', 1)
+
+        # jax.profiler trace of the whole minimization (SURVEY §5's
+        # TPU tracing arm); stopped right after the optimizer returns
+        trace_active = False
+        if profile_dir is not None:
+            jax.profiler.start_trace(str(profile_dir))
+            trace_active = True
 
         t0 = time.perf_counter()
         if optimizer == 'jax':
@@ -442,6 +482,8 @@ class empbayes_fit:
             self.itertimes = []
             _lastiter = [time.perf_counter()]
 
+            objective_dtype = [None]
+
             def callback(xk):
                 itercount[0] += 1
                 now = time.perf_counter()
@@ -455,15 +497,33 @@ class empbayes_fit:
 
             cb = callback
 
+            _seen_finite = [False]
+
             def _finite(v, g=None):
                 """Map non-finite objective values (overflowed kernels,
                 NaN factorizations at extreme trial points) to a large
                 finite value with zero gradient: scipy's line searches
                 then backtrack instead of compounding NaN steps into a
-                runaway iterate."""
-                if numpy.isfinite(v) and (
-                        g is None or numpy.all(numpy.isfinite(g))):
+                runaway iterate.  A non-finite FIRST evaluation raises
+                instead — returning the zero-gradient sentinel there
+                would make BFGS terminate 'successfully' at the garbage
+                start point (``raises=False`` downgrades this to a
+                warning and keeps the start point, consistent with the
+                other minimizer-failure handling)."""
+                ok = numpy.isfinite(v) and (
+                    g is None or numpy.all(numpy.isfinite(g)))
+                if ok:
+                    _seen_finite[0] = True
                     return v if g is None else (v, g)
+                if not _seen_finite[0]:
+                    msg = ('the objective (or its gradient) is '
+                           'non-finite at the starting point; check '
+                           'the model/hyperprior (or pass a different '
+                           'initial=)')
+                    if raises:
+                        raise FloatingPointError(msg)
+                    _seen_finite[0] = True  # warn once
+                    warnings.warn(msg)
                 big = 1e30
                 return big if g is None else (big, numpy.zeros_like(g))
 
@@ -484,7 +544,14 @@ class empbayes_fit:
                     counts['jac'] += 1
                     if self.phase_timer is not None:
                         self.phase_timer.begin()
-                    v, g = timer['fun'].time(value_and_grad, jnp.asarray(w))
+                    # host-side span: separates objective evaluations
+                    # from minimizer overhead in a jax.profiler trace
+                    # (free no-op when no trace is active)
+                    with jax.profiler.TraceAnnotation(
+                            'empbayes_fit.value_and_grad'):
+                        v, g = timer['fun'].time(
+                            value_and_grad, jnp.asarray(w))
+                    objective_dtype[0] = getattr(v, 'dtype', None)
                     return _finite(float(v), numpy.asarray(g, float))
                 scipy_method = kw.pop('method', 'BFGS')
                 res = scipy.optimize.minimize(
@@ -530,7 +597,14 @@ class empbayes_fit:
                 # the gradient at the dtype noise level IS convergence
                 g = getattr(res, 'jac', None)
                 if g is not None:
-                    eps = float(jnp.finfo(jnp.empty(0).dtype).eps)
+                    # the gradient noise floor is set by the dtype the
+                    # LIKELIHOOD was computed in (an f32 model under an
+                    # x64 session must use the f32 eps, even though the
+                    # prior term promotes the total to f64)
+                    dt = nll_dtype[0] or objective_dtype[0]
+                    eps = float(jnp.finfo(
+                        dt if dt is not None else jnp.empty(0).dtype
+                    ).eps)
                     gnorm = float(numpy.max(numpy.abs(numpy.asarray(g))))
                     scale = max(1.0, abs(float(res.fun)))
                     success = gnorm <= 10 * (eps ** 0.5) * scale
@@ -560,6 +634,11 @@ class empbayes_fit:
                 hess_inv = hess_inv.todense()  # L-BFGS LinearOperator
             nit = int(res.nit)
         self.elapsed = time.perf_counter() - t0
+        if trace_active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         its = getattr(self, 'itertimes', [])
         if len(its) >= 3:
             # the first iteration carries the XLA compile; its excess

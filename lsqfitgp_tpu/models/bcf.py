@@ -32,19 +32,35 @@ __all__ = ['bcf']
 
 
 def yeojohnson(x, lmbda):
-    """Yeo-Johnson transformation (λ away from 0 and 2)."""
+    """Yeo-Johnson transformation (λ away from 0 and 2).
+
+    Each branch is evaluated on inputs clamped to its own domain
+    (the double-``where``): the x≥0 branch's ∂/∂λ is
+    ``(x+1)^λ log(x+1)``, which is NaN for x < −1, and ``where``'s
+    cotangent 0·NaN = NaN would otherwise poison the whole gradient
+    whenever the (standardized, hence signed) data dips below −1.
+    """
+    pos = x >= 0
+    xp = jnp.where(pos, x, 0.0)
+    xn = jnp.where(pos, 0.0, x)
     return jnp.where(
-        x >= 0,
-        (jnp.power(x + 1, lmbda) - 1) / lmbda,
-        -((jnp.power(1 - x, 2 - lmbda) - 1) / (2 - lmbda)),
+        pos,
+        (jnp.power(xp + 1, lmbda) - 1) / lmbda,
+        -((jnp.power(1 - xn, 2 - lmbda) - 1) / (2 - lmbda)),
     )
 
 
 def yeojohnson_inverse(y, lmbda):
+    # same per-branch domain clamp as the forward transform: the
+    # unselected branch's base 1 + λy (resp. 1 − (2−λ)y) can be
+    # negative, and power's λ-derivative of a negative base is NaN
+    pos = y >= 0
+    yp = jnp.where(pos, y, 0.0)
+    yn = jnp.where(pos, 0.0, y)
     return jnp.where(
-        y >= 0,
-        jnp.power(1 + lmbda * y, 1 / lmbda) - 1,
-        1 - jnp.power(1 - (2 - lmbda) * y, 1 / (2 - lmbda)),
+        pos,
+        jnp.power(1 + lmbda * yp, 1 / lmbda) - 1,
+        1 - jnp.power(1 - (2 - lmbda) * yn, 1 / (2 - lmbda)),
     )
 
 

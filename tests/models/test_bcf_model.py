@@ -103,3 +103,32 @@ def test_quantilenorm_helpers(rng):
     w = rng.uniform(0.5, 2.0, y.size)
     knots_w, _ = _quantilenorm_knots(jnp.asarray(y), jnp.asarray(w))
     assert np.all(np.diff(np.asarray(knots_w)) > 0)
+
+
+def test_yeojohnson_gradient_finite():
+    """d/dλ of the branchy Yeo-Johnson must stay finite for data
+    outside each branch's domain (x < -1 makes the x>=0 branch's
+    (x+1)^λ log(x+1) NaN; where's 0*NaN cotangent used to poison the
+    whole fit gradient at the prior mean — caught live by
+    test_bcf_yeojohnson once non-finite first evaluations raise)."""
+    import jax
+    from lsqfitgp_tpu.models.bcf import yeojohnson, yeojohnson_inverse
+
+    x = jnp.asarray([-3.0, -1.5, -0.5, 0.0, 0.7, 2.5])
+
+    def fwd(lam):
+        return jnp.sum(yeojohnson(x, lam))
+
+    def inv(lam):
+        return jnp.sum(yeojohnson_inverse(x, lam))
+
+    for lam in (0.3, 1.0, 1.7):
+        g = jax.grad(fwd)(jnp.asarray(lam))
+        assert np.isfinite(float(g)), (lam, g)
+        gi = jax.grad(inv)(jnp.asarray(lam))
+        assert np.isfinite(float(gi)), (lam, gi)
+    # round trip still exact after the domain clamps
+    lam = jnp.asarray(0.8)
+    np.testing.assert_allclose(
+        np.asarray(yeojohnson_inverse(yeojohnson(x, lam), lam)),
+        np.asarray(x), rtol=1e-6)
