@@ -61,7 +61,10 @@ def pipeline_flops(n, nrhs=1):
 
 def _scan_time(loop, args, inner=10, base=4, reps=3):
     """Per-iteration time from the difference of two scan lengths,
-    cancelling the ~28 ms remote-tunnel sync latency exactly."""
+    cancelling the ~28 ms remote-tunnel sync latency exactly.  Returns
+    None when the difference is below the timing resolution (round-3
+    bench published a '0.00 ms, 4e8 GB/s' row from a clamped negative
+    difference) — callers skip the row instead of printing garbage."""
     float(loop(*args, inner)); float(loop(*args, base))
 
     def t(length):
@@ -72,7 +75,17 @@ def _scan_time(loop, args, inner=10, base=4, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max(t(inner) - t(base), 1e-9) / (inner - base)
+    diff = t(inner) - t(base)
+    if diff <= 20e-6 * (inner - base):
+        # per-iteration below 20 us: the differenced measurement is in
+        # the sync-jitter floor; retry once with a longer scan
+        inner2, base2 = 4 * inner, inner
+        float(loop(*args, inner2))
+        diff = t(inner2) - t(base2)
+        if diff <= 20e-6 * (inner2 - base2):
+            return None
+        return diff / (inner2 - base2)
+    return diff / (inner - base)
 
 
 def _direct_time(fn, args, reps=5):
@@ -267,6 +280,70 @@ def gram_tiled_loop(n, dtype, p=8):
     return loop, (x,)
 
 
+def gram_bart_loop(n, dtype, p=4):
+    """BART-kernel Gram assembly through the GP object: the
+    transcendental-heavy research kernel that motivates the
+    halfmatrix/tiling machinery (round-3 bench-hygiene item)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import numpy
+    import lsqfitgp_tpu as lgp
+
+    rng = numpy.random.default_rng(0)
+    feats = rng.uniform(0, 1, (n, p))
+    xs = lgp.asarray({
+        f'f{i}': jnp.asarray(feats[:, i], dtype) for i in range(p)
+    })
+    splits = lgp.BART.splits_from_coord(xs)
+    kb = lgp.BART(splits=splits, maxd=2)
+    ones = jnp.ones(n, dtype)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(a0, length):
+        def body(c, _):
+            amp = jnp.exp(a0 + c * jnp.asarray(1e-30, dtype))
+            gp = lgp.GP(amp * kb, checkpos=False, checksym=False,
+                        checkfinite=False, checklin=False)
+            gp = gp.addx(xs, 'f')
+            K = gp.prior('f', raw=True)
+            K = lax.optimization_barrier(K)
+            v = K @ ones
+            return jnp.asarray(1e-30, dtype) * v[0], None
+        c, _ = lax.scan(body, jnp.asarray(0, dtype), None,
+                        length=length)
+        return c
+
+    return loop, (jnp.asarray(0.1, dtype),)
+
+
+def stream_vg_direct(n, dtype):
+    """Streaming value+gradient (the EXACT rule) — the empbayes_fit
+    iteration cost at never-materialized-Gram sizes; the contract is
+    value+grad <= ~3x the forward pass."""
+    import jax
+    import jax.numpy as jnp
+    import numpy
+    from lsqfitgp_tpu.linalg import chol_nll_stream_grad
+
+    rng = numpy.random.default_rng(0)
+    x = jnp.arange(n, dtype=dtype) * 0.05
+    y = jnp.asarray(rng.standard_normal(n), dtype)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+
+    @jax.jit
+    def vg(w, x, y):
+        def f(w):
+            return chol_nll_stream_grad(
+                profile, x, y, params=(w[0],), lenscale=w[1],
+                epsabs=1e-2, exact=True)
+        v, g = jax.value_and_grad(f)(w)
+        return v + jnp.asarray(1e-30, dtype) * g[0]
+
+    return vg, (jnp.asarray([1.3, 1.0], dtype), x, y)
+
+
 def fit_full(n, dtype):
     """Full empbayes_fit wallclock (BASELINE.json names
     'empbayes_fit wallclock at N=4k-64k' as part of the metric):
@@ -374,8 +451,10 @@ def main():
     for name, maker, sizes in (
         ('chol', chol_loop, (4096, 8192, 16384)),
         ('chol_direct', chol_direct, (32768,)),
+        ('stream_vg', stream_vg_direct, (16384, 65536)),
         ('gram', gram_loop, (4096, 8192, 16384)),
         ('gram_tiled_p8', gram_tiled_loop, (8192,)),
+        ('gram_bart_p4', gram_bart_loop, (2048,)),
         ('gp_gram_tiled_p8',
          lambda n, d: gram_insitu_loop(n, d, 'tiled'), (8192,)),
         ('gp_gram_broadcast_p8',
@@ -388,14 +467,22 @@ def main():
             try:
                 t0 = time.perf_counter()
                 loop, args = maker(n, dtype)
-                if name == 'chol_direct':
-                    t = _direct_time(loop, args)
+                if name in ('chol_direct', 'stream_vg'):
+                    t = _direct_time(loop, args, reps=3)
                 else:
                     t = _scan_time(loop, args)
+                if t is None:
+                    _log(f'[bench] {name} n={n}: below timing '
+                         f'resolution, skipped')
+                    continue
                 extras[f'{name}_n{n}'] = t
                 msg = f'[bench] {name} n={n}: {t * 1e3:.2f} ms'
                 if name.startswith('chol'):
                     msg += f', {pipeline_flops(n) / t / 1e12:.2f} TFLOP/s'
+                if name == 'stream_vg':
+                    # forward n³/3 + exact-gradient strips ~2·n³/3
+                    msg += (f', value+grad '
+                            f'{n ** 3 / t / 1e12:.2f} TFLOP/s-equiv')
                 if name.startswith('gram') or name.startswith('gp_gram'):
                     msg += f', {n * n * 4 / t / 1e9:.0f} GB/s written'
                 _log(msg + f' (setup {time.perf_counter() - t0:.0f}s)')
@@ -403,12 +490,17 @@ def main():
                 _log(f'[bench] {name} n={n} failed: {exc!r}')
 
     # full empbayes_fit wallclock (the other half of the BASELINE
-    # metric); includes the one-time jit compile of value_and_grad
+    # metric): cold = first call in this process (jit trace + whatever
+    # the persistent compile cache cannot serve), warm = second call
+    # (fresh trace, compilations served from the cache — what a user's
+    # second fit of the session costs)
     if backend != 'cpu' and _elapsed() <= _BUDGET:
         try:
-            wall, nit = fit_full(4096, dtype)
-            _log(f'[bench] empbayes_fit n=4096: {wall:.1f} s wallclock '
-                 f'({nit} iterations, jit compile included)')
+            wall_cold, nit = fit_full(4096, dtype)
+            wall_warm, nit2 = fit_full(4096, dtype)
+            _log(f'[bench] empbayes_fit n=4096: cold {wall_cold:.1f} s '
+                 f'({nit} iters), warm {wall_warm:.1f} s ({nit2} '
+                 f'iters; persistent compile cache)')
         except Exception as exc:  # noqa: BLE001 - best-effort
             _log(f'[bench] empbayes_fit n=4096 failed: {exc!r}')
 
