@@ -146,11 +146,16 @@ class empbayes_fit:
         the whole fit is one XLA program (method='gradient' only).
     initial : 'priormean' or array
         Starting point (whitened space starts at 0 for 'priormean').
-    covariance : {'auto', 'fisher', 'hess', 'minhess', 'none'}
+    covariance : {'auto', 'fisher', 'hess', 'minhess', 'none', 'prior'}
         Posterior covariance estimator: expected Fisher information via
         the explicit decomposition formula ('fisher', guaranteed PSD),
         AD Hessian of the objective ('hess'), the minimizer's inverse
-        Hessian estimate ('minhess'), or zero ('none').
+        Hessian estimate ('minhess'), zero ('none'), or the unchanged
+        hyperprior covariance ('prior').  Custom-VJP likelihoods (the
+        streaming ``GP(solver='chol-stream')`` and ``custom_nll``)
+        support no second-order AD: 'auto' then picks 'minhess' when
+        the minimizer provides one (scipy BFGS) and falls back to
+        'prior' with a warning otherwise; 'fisher'/'hess' raise.
     fix : dict, optional
         Map key -> bool (or array of bool) freezing hyperparameters at
         their initial values.
@@ -269,6 +274,10 @@ class empbayes_fit:
         # noise floor at the f32 eps even though the whitened-prior
         # term promotes the total objective to f64
         nll_dtype = [None]
+        # whether the objective goes through a custom-VJP likelihood
+        # (streaming solver or custom_nll): second-order AD is then
+        # unavailable, which constrains the Laplace covariance source
+        is_custom_vjp_obj = [custom_nll is not None]
 
         def nll(w):
             # jax.profiler annotations mark the fit phases in TPU traces
@@ -293,6 +302,7 @@ class empbayes_fit:
                         g, gcov = given, givencov
                     gp = gpfactory(hp, **gpfactorykw)
                 if getattr(gp, '_solver', None) == 'chol-stream':
+                    is_custom_vjp_obj[0] = True
                     # never-materialized-Gram pipeline with the exact
                     # streaming gradient: the fit objective at sizes
                     # whose dense Gram cannot exist (n = 65536/chip)
@@ -663,8 +673,37 @@ class empbayes_fit:
 
         # posterior covariance in whitened space
         if covariance == 'auto':
-            covariance = 'hess' if method == 'fisher' or hess_inv is None \
-                else 'minhess'
+            if is_custom_vjp_obj[0]:
+                # streaming/custom_nll objectives: the likelihood is a
+                # custom_vjp, so second-order AD ('hess') and the
+                # explicit-K Fisher are unavailable; the quasi-Newton
+                # inverse-hessian estimate is the Laplace covariance
+                # source at never-materialized-Gram sizes
+                if hess_inv is not None:
+                    covariance = 'minhess'
+                else:
+                    warnings.warn(
+                        "the objective is a custom-VJP likelihood "
+                        "(streaming solver or custom_nll) and the "
+                        "minimizer provides no hessian estimate: "
+                        "posterior covariance set to the prior's "
+                        "(covariance='none' + unit whitened cov).  Use "
+                        "optimizer='scipy' method='gradient' (BFGS) "
+                        "for a Laplace estimate."
+                    )
+                    covariance = 'prior'
+            else:
+                covariance = 'hess' if method == 'fisher' \
+                    or hess_inv is None else 'minhess'
+        if covariance in ('hess', 'fisher') and is_custom_vjp_obj[0]:
+            raise ValueError(
+                f"covariance={covariance!r} needs second-order AD or "
+                "the materialized K(p), neither of which exists for a "
+                "custom-VJP likelihood (streaming solver / "
+                "custom_nll); use covariance='minhess' with "
+                "optimizer='scipy' method='gradient' (BFGS), or "
+                "'none'/'prior'"
+            )
         if covariance == 'hess':
             # observed information: AD hessian of the objective
             fisher_w = self._make_fisher(nll, fixmask)
@@ -709,6 +748,10 @@ class empbayes_fit:
             cov_w = jnp.asarray(hess_inv)
         elif covariance == 'none':
             cov_w = jnp.zeros((nparam, nparam))
+        elif covariance == 'prior':
+            # no curvature information: report the (whitened) prior
+            # uncertainty unchanged rather than a false zero
+            cov_w = jnp.eye(nparam)
         else:
             raise KeyError(f'unknown covariance {covariance!r}')
 
