@@ -33,6 +33,7 @@ from jax import numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from . import _blocked
+from . import _df
 from ._pytree import AutoPyTree
 from .._jaxutil import skipifabstract
 
@@ -251,10 +252,16 @@ class Chol(Decomposition):
     _BLOCK = 512
 
     def __init__(self, K, *, epsrel='auto', epsabs=0, blocked='auto',
-                 precision=None, block=None):
+                 precision=None, block=None, df='auto'):
         K = jnp.asarray(K)
         n = K.shape[0]
         epsrel, epsabs, escalate = _parse_eps(epsrel, epsabs, n, K.dtype)
+        # double-float rescue eligibility: replaces the biased eps2
+        # escalation outcome with an emulated-double-precision refactor
+        # at the PRIMARY eps (see linalg._df).  'auto' = up to DF_MAX;
+        # True forces it regardless of size; False disables.
+        df_eligible = escalate and df is not False \
+            and (df is True or n <= _df.DF_MAX)
         mach = _float_eps(K.dtype)
         s = diag_scale_pow2(K)
         # Gershgorin bound of the scaled matrix computed as a scaled
@@ -279,6 +286,7 @@ class Chol(Decomposition):
             dmax = lax.stop_gradient(jnp.max(jnp.diag(K) * s * s))
             eps = eps + 4 * mach * dmax
             eps2 = 32 * mach * bound + epsabs
+            eps_primary = eps  # the small rung the df rescue refactors at
         if block is not None:
             # per-instance panel width (e.g. tuned per problem size);
             # the solvers read it back from _BLOCK
@@ -359,6 +367,45 @@ class Chol(Decomposition):
         self._cond_est = bound / jnp.maximum(
             jnp.min(jnp.diag(L)) ** 2, jnp.finfo(K.dtype).tiny)
         self._escalated = escalated
+        # double-float rescue: when the small-eps rung failed, refactor
+        # S K S + eps_primary·I in emulated double precision (lax.cond:
+        # the well-posed case pays nothing at runtime).  Solves and the
+        # log-density then route through the df factor, restoring the
+        # reference's float64-grade accuracy contract instead of the
+        # warned-but-biased eps2 result (see linalg._df module docs).
+        self._Ldf_h = None
+        self._Ldf_l = None
+        self._df_rescued = jnp.asarray(False)
+        if df_eligible:
+            # two triggers:
+            # - escalation fired: the f32 result is biased by eps2;
+            # - cond_est past 0.1/mach (~8.4e5 at f32): the factor
+            #   succeeded but the fused-NLL gradient error crosses ~1%
+            #   there.  Measured on an n=768 ExpQuad + nugget sweep
+            #   (grad rel. error vs f64 truth): 1.0e-3 at cond 2.0e5,
+            #   4.5e-3 at 5.9e5, 2.8e-2 at 2.0e6, with 18-65% errors
+            #   at 3.6e6 in the round-3 probe.  A lower threshold
+            #   (0.01/mach) was measured to fire on routine
+            #   well-conditioned fits (ExpQuad, noise 1e-2, n=4096 →
+            #   cond_est 1.0e5, error 5.7e-5), paying the O(100x) VPU
+            #   path for accuracy f32 already delivers.
+            rescue = escalated | (self._cond_est > 0.1 / mach)
+            Ks = K * (s[:, None] * s[None, :])  # pow2 scaling: exact
+            epsp = jnp.asarray(eps_primary, K.dtype)
+            Lh, Ll = lax.cond(
+                rescue,
+                lambda A: _df.chol_df(A, epsp),
+                lambda A: (jnp.zeros_like(A), jnp.zeros_like(A)),
+                Ks,
+            )
+            self._Ldf_h = Lh
+            self._Ldf_l = Ll
+            # a matrix indefinite even at eps_primary (only the healed/
+            # escalated f32 factor exists) comes back NaN from the df
+            # factorization: keep the f32 answer then
+            df_ok = jnp.all(jnp.isfinite(jnp.diag(Lh)))
+            self._df_rescued = rescue & df_ok
+            self._eps = jnp.where(self._df_rescued, epsp, self._eps)
 
     @property
     def n(self):
@@ -410,7 +457,18 @@ class Chol(Decomposition):
         def check():
             import warnings
             n = self.n
-            if bool(self._escalated):
+            if bool(self._df_rescued):
+                # accuracy was RECOVERED: the escalation refactored in
+                # emulated double precision at the primary eps.  Not a
+                # reliability problem — surface the perf cliff only.
+                warnings.warn(
+                    f'Chol.{what}: conditioning exceeded the '
+                    f'{self._L.dtype} factorization limit; rescued by '
+                    f'an emulated-double-precision refactorization '
+                    f'(accurate, but O(100x) slower per solve).  Add '
+                    f'noise or pass epsabs to stay on the fast path.'
+                )
+            elif bool(self._escalated):
                 warnings.warn(
                     f'Chol.{what}: the matrix was numerically singular '
                     f'at {self._L.dtype}; the factorization used the '
@@ -444,17 +502,33 @@ class Chol(Decomposition):
 
     def _solve_L(self, x):
         """L⁻¹ x"""
-        if self._Dinv is not None:
-            return _blocked.solve_lower(
-                self._L, x, block=self._BLOCK, Dinv=self._Dinv)
-        return solve_triangular(self._L, x, lower=True)
+        def fast(x):
+            if self._Dinv is not None:
+                return _blocked.solve_lower(
+                    self._L, x, block=self._BLOCK, Dinv=self._Dinv)
+            return solve_triangular(self._L, x, lower=True)
+        if self._Ldf_h is None:
+            return fast(x)
+
+        def dfpath(x):
+            h, l = _df.solve_lower_df(self._Ldf_h, self._Ldf_l, x)
+            return h + l
+        return lax.cond(self._df_rescued, dfpath, fast, x)
 
     def _solve_Lt(self, x):
         """L'⁻¹ x"""
-        if self._Dinv is not None:
-            return _blocked.solve_lower_t(
-                self._L, x, block=self._BLOCK, Dinv=self._Dinv)
-        return solve_triangular(self._L, x, lower=True, trans=1)
+        def fast(x):
+            if self._Dinv is not None:
+                return _blocked.solve_lower_t(
+                    self._L, x, block=self._BLOCK, Dinv=self._Dinv)
+            return solve_triangular(self._L, x, lower=True, trans=1)
+        if self._Ldf_h is None:
+            return fast(x)
+
+        def dfpath(x):
+            h, l = _df.solve_lower_t_df(self._Ldf_h, self._Ldf_l, x)
+            return h + l
+        return lax.cond(self._df_rescued, dfpath, fast, x)
 
     def ginv_linear(self, X):
         self._warn_if_degraded('ginv_linear')
@@ -500,15 +574,22 @@ class Chol(Decomposition):
     # -- density ------------------------------------------------------------
 
     def logdet(self):
-        if self._Dinv is not None:
-            # diag(L) = 1/diag(Dinv blocks); the identity-padded tail
-            # blocks contribute log 1 = 0.  40x less data than a strided
-            # diag gather over the full factor.
-            d = jnp.diagonal(self._Dinv, axis1=1, axis2=2)
-            logdiagL = -jnp.sum(jnp.log(d))
+        def fast(_):
+            if self._Dinv is not None:
+                # diag(L) = 1/diag(Dinv blocks); the identity-padded
+                # tail blocks contribute log 1 = 0.  40x less data than
+                # a strided diag gather over the full factor.
+                d = jnp.diagonal(self._Dinv, axis1=1, axis2=2)
+                return -2 * jnp.sum(jnp.log(d))
+            return 2 * jnp.sum(jnp.log(jnp.diag(self._L)))
+        if self._Ldf_h is None:
+            twologdiagL = fast(None)
         else:
-            logdiagL = jnp.sum(jnp.log(jnp.diag(self._L)))
-        return 2 * logdiagL - 2 * jnp.sum(jnp.log(self._s))
+            twologdiagL = lax.cond(
+                self._df_rescued,
+                lambda _: _df.logdet_df(self._Ldf_h, self._Ldf_l),
+                fast, None)
+        return twologdiagL - 2 * jnp.sum(jnp.log(self._s))
 
     def minus_log_normal_density(self, r):
         self._warn_if_degraded('minus_log_normal_density')
@@ -525,6 +606,11 @@ class Chol(Decomposition):
 
         ``dK``: (P, n, n); ``dr``: (P, n).  Batched triangular solves +
         einsum, the formula of reference ``_decomp.py:441-586``.
+
+        Runs on the float32 factor even when the double-float rescue is
+        live (the Fisher is a curvature ESTIMATE for Laplace
+        covariances; df-accurate solves would cost O(P n³) VPU flops
+        for accuracy the use case doesn't need).
         """
         s = self._s
         P = dK.shape[0]
@@ -608,20 +694,58 @@ def _chol_nll_jvp(opts, primals, tangents):
     z = dec.pinv_correlate(r)             # L⁻¹ S r (CSEd with val's)
     zt = s * dec._solve_Lt(z)             # S K_s⁻¹ S r
     precision = _blocked._precision(kw.get('precision'))
-    if dec._Dinv is not None:
-        W = _blocked.trtri_blocked(dec._L, dec._Dinv, dec._BLOCK,
-                                   precision)
-        from ..ops import syrk_t_full
-        # lower-tile-only Pallas syrk (half the MACs of the full
-        # square; plain dot on non-TPU backends)
-        Kinv_s = syrk_t_full(W, tile=dec._BLOCK, precision=precision)
-    else:
+
+    def fast_kinv(_):
+        if dec._Dinv is not None:
+            W = _blocked.trtri_blocked(dec._L, dec._Dinv, dec._BLOCK,
+                                       precision)
+            from ..ops import syrk_t_full
+            # lower-tile-only Pallas syrk (half the MACs of the full
+            # square; plain dot on non-TPU backends)
+            return syrk_t_full(W, tile=dec._BLOCK, precision=precision)
         W = solve_triangular(
             dec._L, jnp.eye(dec.n, dtype=K.dtype), lower=True)
-        Kinv_s = jnp.dot(W.T, W, precision=precision)
-    Kbar = 0.5 * (Kinv_s * (s[:, None] * s[None, :])
-                  - zt[:, None] * zt[None, :])
-    dval = jnp.vdot(Kbar, dK) + jnp.dot(zt, dr)
+        return jnp.dot(W.T, W, precision=precision)
+
+    if dec._Ldf_h is None:
+        Kinv_s = fast_kinv(None)
+        Kbar = 0.5 * (Kinv_s * (s[:, None] * s[None, :])
+                      - zt[:, None] * zt[None, :])
+        dval = jnp.vdot(Kbar, dK) + jnp.dot(zt, dr)
+    else:
+        # rescue branch: the gradient's Kbar = ½(K⁻¹ − ααᵀ) has
+        # cond-amplified entries (|K⁻¹| ~ 1/eps) whose fine structure —
+        # the part that survives the ⟨Kbar, dK⟩ cancellation — sits
+        # below f32 resolution.  Assemble the WHOLE primal-side
+        # pipeline in double-float: df triangular solves (W, α), a
+        # compensated syrk for WᵀW, df outer product and subtraction,
+        # exact pow2 rescaling, and a compensated contraction whose
+        # only roundings are the two final f32 tree-sums.  All df work
+        # is primal-only; dval stays linear in (dK, dr), so the rule
+        # transposes for reverse mode.
+        def df_kbar(_):
+            eye = jnp.eye(dec.n, dtype=K.dtype)
+            Wh, Wl = _df.solve_lower_df(dec._Ldf_h, dec._Ldf_l, eye)
+            Kih, Kil = _df.syrk_df(Wh, Wl)
+            zh, zl = _df.solve_lower_df(dec._Ldf_h, dec._Ldf_l, s * r)
+            ah, al = _df.solve_lower_t_df(dec._Ldf_h, dec._Ldf_l, zh, zl)
+            oh, ol = _df.mul(ah[:, None], al[:, None],
+                             ah[None, :], al[None, :])
+            bh, bl = _df.sub(Kih, Kil, oh, ol)
+            ss = 0.5 * s[:, None] * s[None, :]   # pow2·pow2·2⁻¹: exact
+            return bh * ss, bl * ss
+
+        def fast_kbar(_):
+            Kinv_s = fast_kinv(None)
+            zt_s = zt / s
+            Kb = 0.5 * (Kinv_s - zt_s[:, None] * zt_s[None, :])
+            return Kb * (s[:, None] * s[None, :]), jnp.zeros_like(Kb)
+
+        Kbarh, Kbarl = lax.cond(dec._df_rescued, df_kbar, fast_kbar,
+                                None)
+        ph, pl = _df.mul(Kbarh, Kbarl, dK, jnp.zeros_like(dK))
+        sh, sl = _df.sum_df(ph, pl)
+        dval = (sh + sl) + jnp.dot(zt, dr)
     return val, dval
 
 

@@ -254,9 +254,12 @@ def test_f32_auto_eps_gradient_accuracy():
     and flipped the marginal-likelihood gradient sign.  The
     diagonal-anchored 'auto' must track the f64 truth to ~0.1% on a
     model whose conditioning is within f32 reach (noise 1e-3,
-    cond ~ 8e5)."""
-    v64, g64 = _nll_grad_testcase(1e-3, jnp.float64)
-    v32, g32 = _nll_grad_testcase(1e-3, jnp.float32)
+    cond_est ~6e5 — below the df-rescue trigger, so this pins the
+    PLAIN f32 ladder's accuracy).  n=768 keeps the compiled df branch
+    affordable on the CPU lane; the original finding was at n=1536 and
+    the contract is size-independent."""
+    v64, g64 = _nll_grad_testcase(1e-3, jnp.float64, n=768)
+    v32, g32 = _nll_grad_testcase(1e-3, jnp.float32, n=768)
     assert np.sign(g32) == np.sign(g64)
     np.testing.assert_allclose(g32, g64, rtol=5e-3)
     np.testing.assert_allclose(v32, v64, rtol=1e-4)
@@ -264,18 +267,21 @@ def test_f32_auto_eps_gradient_accuracy():
 
 @pytest.mark.x64only
 def test_f32_infeasible_cond_detected():
-    """At noise 1e-4 the model's conditioning (~8e6) exceeds 1/eps32:
-    no fp32 factorization can solve it accurately.  The decomposition
-    must DETECT this (degradation warning at likelihood use), never
-    return silent garbage with a healthy face."""
-    n = 1536
+    """At noise 1e-4 the model's conditioning exceeds 1/eps32: no
+    plain fp32 factorization can solve it accurately.  With df='auto'
+    (default) the decomposition RESCUES it in emulated double
+    precision and says so; with the rescue disabled it must still
+    DETECT the degradation (warning at likelihood use), never return
+    silent garbage with a healthy face."""
+    n = 768
     x = jnp.linspace(0, 5, n, dtype=jnp.float64).astype(jnp.float32)
     K = jnp.exp(-0.5 * (x[:, None] - x[None, :]) ** 2) \
         + jnp.asarray(1e-4, jnp.float32) * jnp.eye(n, dtype=jnp.float32)
-    d = Chol(K)
     y = jnp.ones(n, jnp.float32)
+    with pytest.warns(UserWarning, match='emulated-double'):
+        Chol(K).minus_log_normal_density(y)
     with pytest.warns(UserWarning, match='float64'):
-        d.minus_log_normal_density(y)
+        Chol(K, df=False).minus_log_normal_density(y)
 
 
 def test_singular_prior_sampling_quiet(rng):
