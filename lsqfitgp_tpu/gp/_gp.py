@@ -88,11 +88,15 @@ class GP:
         to n = 65536; `marginal_likelihood` carries the EXACT
         hand-derived gradient, `pred` returns means/variances/small
         dense output covariances.  The model must reduce to "one
-        isotropic-kernel process + iid noise": a single ``addx`` data
-        element whose process kernel is an isotropic constructor
-        optionally inside scalar ``amp * k + c`` chains and an
-        additive ``sigma2 * White()`` term, plus optionally a SCALAR
-        ``givencov``.  Anything else raises with a diagnostic.  Extra
+        isotropic process + diagonal noise": a single ``addx`` data
+        element whose process kernel is an isotropic constructor —
+        or a SUM of them at different length scales, e.g.
+        ``a1*ExpQuad(scale=s1) + a2*Matern(scale=s2)`` — optionally
+        inside scalar ``amp * k + c`` chains and an additive
+        ``sigma2 * White()`` term, plus optionally a ``givencov``
+        that is a scalar (iid) or a per-point variance VECTOR
+        (heteroskedastic diagonal, with exact per-element
+        gradients).  Anything else raises with a diagnostic.  Extra
         keywords: ``block``, ``b1``, ``gradblock``.)
     checkpos, checksym, checkfinite, checklin : bool
         Eager sanity checks (run at trace time, compile away).
@@ -628,7 +632,8 @@ class GP:
         spec = getattr(kernel, '_fastgram', None)
         if spec is None:
             return None
-        if spec.noise is not None or spec.core is None:
+        if spec.noise is not None \
+                or (spec.core is None and spec.terms is None):
             # δ-noise components need the exact x==y comparison of the
             # broadcast core (duplicate points, cross blocks); the
             # tiled r² engine cannot represent them
@@ -796,10 +801,11 @@ class GP:
         def bail(msg):
             raise ValueError(
                 "solver='chol-stream' needs a model of the form 'one "
-                "isotropic-kernel process + iid noise' (a single addx "
-                "element, kernel = isotropic constructor optionally "
-                "inside scalar amp*k + c chains and + sigma2*White() "
-                f"sums, scalar givencov): {msg}"
+                "isotropic-kernel process + diagonal noise' (a single "
+                "addx element, kernel = isotropic constructor "
+                "optionally inside scalar amp*k + c chains and "
+                "+ sigma2*White() sums, givencov a scalar or a "
+                f"per-point variance vector): {msg}"
             )
 
         if len(inkeys) != 1:
@@ -817,7 +823,7 @@ class GP:
             bail('the kernel carries no fast-Gram spec (use an '
                  'isotropic constructor kernel; transformations other '
                  'than scalar mul/add and White sums drop it)')
-        if spec.core is None:
+        if spec.core is None and spec.terms is None:
             bail('the kernel has no isotropic profile (pure noise)')
         cols = fg.leaf_columns(el.x)
         if cols is None:
@@ -837,11 +843,22 @@ class GP:
             if gcov.ndim == 0:
                 noise_total = gcov if noise_total is None \
                     else noise_total + gcov
+            elif gcov.ndim == 1:
+                # heteroskedastic diagonal noise: a per-point variance
+                # vector rides the factorization's diagonal the same
+                # way iid eps does (vectorized through the streaming
+                # kernels), with exact per-element gradients
+                nel = _size(el.shape)
+                if gcov.shape[0] != nel:
+                    bail(f'givencov vector length {gcov.shape[0]} != '
+                         f'{nel} data points')
+                noise_total = gcov if noise_total is None \
+                    else noise_total + gcov
             else:
-                bail('givencov must be a SCALAR iid noise variance on '
-                     'the streaming solver (a full matrix would '
-                     'materialize n²; heteroskedastic diagonals are '
-                     "not yet supported) — or use solver='chol'")
+                bail('givencov must be a scalar iid variance or a '
+                     'per-point variance VECTOR on the streaming '
+                     'solver (a full matrix would materialize n²) — '
+                     "or use solver='chol'")
         return profile, params, X, spec.scale, noise_kernel, \
             noise_total
 

@@ -27,12 +27,12 @@ __all__ = ['stream_marginal_likelihood', 'stream_pred']
 
 def _extract(kernel, x):
     spec = getattr(kernel, '_fastgram', None)
-    if spec is None or spec.core is None:
+    if spec is None or (spec.core is None and spec.terms is None):
         raise ValueError(
             'kernel carries no fast-Gram spec: the streaming pipeline '
             'needs an isotropic constructor kernel (optionally inside '
-            'scalar mul/add chains and White sums), e.g. '
-            'amp * ExpQuad(scale=s) + n * White()'
+            'scalar mul/add chains, sums of isotropic kernels, and '
+            'White sums), e.g. amp * ExpQuad(scale=s) + n * White()'
         )
     cols = _fg.leaf_columns(_array.asarray(x))
     if cols is None:
@@ -48,10 +48,11 @@ def _extract(kernel, x):
 def stream_marginal_likelihood(kernel, x, y, *, noisevar=None,
                                nprobes=None, **kw):
     """log p(y | x, kernel, noisevar) for ``y ~ N(0, k(x, x) +
-    noisevar I)`` with the Gram computed inside the factorization
+    diag(noisevar))`` with the Gram computed inside the factorization
     (never materialized), differentiable in the kernel's traced scalar
     hyperparameters, its ``scale``, any White-kernel noise amplitude,
-    and ``noisevar`` — with the EXACT streaming gradient rule by
+    and ``noisevar`` (a scalar iid variance or a per-point
+    heteroskedastic vector) — with the EXACT streaming gradient rule by
     default (pass ``nprobes`` to use the cheaper Hutchinson trace
     estimate instead).  A White component of the kernel adds to
     ``noisevar``.  Same sign convention as ``GP.marginal_likelihood``

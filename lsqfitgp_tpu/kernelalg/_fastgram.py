@@ -37,8 +37,8 @@ __all__ = ['FastGramSpec', 'make_spec', 'leaf_columns', 'build_profile']
 FastGramSpec = collections.namedtuple(
     'FastGramSpec',
     ['core', 'mode', 'static_kw', 'dyn_names', 'dyn_values', 'scale',
-     'loc', 'maxdim', 'post', 'noise'],
-    defaults=(None,),
+     'loc', 'maxdim', 'post', 'noise', 'terms'],
+    defaults=(None, None),
 )
 # post: ordered chain of ('mul'|'add', scalar) applied OUTSIDE the
 # profile, accumulated by the `mul`/`add` algops so the universal fit
@@ -53,8 +53,20 @@ FastGramSpec = collections.namedtuple(
 # (``k + sigma2 * White()``, the universal regression observation
 # model) so the streaming GP solver can factor the model into
 # "profile + iid noise" — the profile/post chain NEVER includes it.
-# ``core=None`` means a zero base profile (a pure-noise spec, e.g. a
-# bare White), with the post chain still applying on top of 0.
+# ``core=None`` (with terms=None) means a zero base profile (a
+# pure-noise spec, e.g. a bare White), with the post chain still
+# applying on top of 0.
+#
+# terms: tuple of sub-specs whose PROFILES SUM — the representation of
+# ``a1*k1(scale=s1) + a2*k2(scale=s2)`` (e.g. short+long lengthscale
+# mixtures, the classic multi-scale GP regression model).  A term-sum
+# spec has core=None, scale=None, loc=None; each term carries its own
+# core/mode/scale/post, with the scale applied to r² INSIDE the
+# profile (isotropic kernels depend only on ‖x−y‖, so per-term scales
+# cannot ride the points, and loc cancels in the distance outright).
+# The top-level post chain applies to the whole sum, so
+# ``amp * (k1 + k2) + c`` composes.  Terms nest (a summed spec with an
+# outer post chain becomes one term of a wider sum).
 
 # constructor arguments consumed by CrossKernel.__new__ itself
 _RESERVED = {
@@ -174,28 +186,54 @@ def _chain_const(spec):
     return out
 
 
+def _is_flat(s):
+    """Profile-less spec: pure noise and/or a constant post chain."""
+    return s.core is None and s.terms is None
+
+
 def add_specs(sa, sb):
     """Spec of the SUM of two kernels, or None when the combination
-    leaves the fast path.  Supported: either side is core-less (pure
-    noise / constant chains) — its constant folds into the other
-    side's post chain as one 'add', and the noises add.  Two profiled
-    kernels stay on the broadcast path (their distance geometries
-    need not agree)."""
+    leaves the fast path.  A core-less side (pure noise / constant
+    chains) folds its constant into the other side's post chain as one
+    'add', and the noises add.  Two PROFILED kernels become a
+    ``terms`` sum: each keeps its own core/mode/scale/post, with the
+    scale applied to r² inside the summed profile (loc cancels in the
+    distance, so it is dropped) — this is what keeps multi-lengthscale
+    mixtures like ``a1*ExpQuad(scale=s1) + a2*Matern(scale=s2)`` on
+    the tiled/streaming dispatch."""
     if sa is None or sb is None:
         return None
-    if sb.core is None:
-        base, flat = sa, sb
-    elif sa.core is None:
-        base, flat = sb, sa
-    else:
-        return None
-    noise = base.noise
-    if flat.noise is not None:
-        noise = flat.noise if noise is None else noise + flat.noise
-    post = base.post
-    if flat.post:
-        post = post + (('add', _chain_const(flat)),)
-    return base._replace(post=post, noise=noise)
+    if _is_flat(sa) or _is_flat(sb):
+        if _is_flat(sb):
+            base, flat = sa, sb
+        else:
+            base, flat = sb, sa
+        noise = base.noise
+        if flat.noise is not None:
+            noise = flat.noise if noise is None else noise + flat.noise
+        post = base.post
+        if flat.post:
+            post = post + (('add', _chain_const(flat)),)
+        return base._replace(post=post, noise=noise)
+
+    def terms_of(s):
+        if s.terms is not None and not s.post:
+            return s.terms
+        return (s._replace(loc=None, noise=None),)
+
+    noise = sa.noise
+    if sb.noise is not None:
+        noise = sb.noise if noise is None else noise + sb.noise
+    md = None
+    for m in (sa.maxdim, sb.maxdim):
+        if m is None:
+            continue
+        md = m if md is None else min(md, m)
+    return FastGramSpec(
+        core=None, mode='squared', static_kw={}, dyn_names=(),
+        dyn_values=(), scale=None, loc=None, maxdim=md, post=(),
+        noise=noise, terms=terms_of(sa) + terms_of(sb),
+    )
 
 
 def leaf_columns(x):
@@ -229,18 +267,26 @@ def leaf_columns(x):
     return cols
 
 
-def build_profile(spec):
-    """(profile, params): a pure ``profile(r2, *params)`` suitable for
-    :func:`lsqfitgp_tpu.ops.gram`, with the dynamic (traced) init
-    arguments passed positionally."""
+def _single_profile(spec, with_scale):
+    """(fn, params) for a single-core spec; ``fn(r2, *params)``.  With
+    ``with_scale`` the spec's constructor scale is applied to r² inside
+    the profile (a SUM term, whose scale cannot ride the points)
+    instead of being the caller's responsibility."""
     core = spec.core
     mode = spec.mode
     static_kw = spec.static_kw
     dyn_names = spec.dyn_names
     nd = len(dyn_names)
     post_ops = tuple(op for op, _ in spec.post)
+    scaled = with_scale and spec.scale is not None
+    params = spec.dyn_values + tuple(v for _, v in spec.post)
+    if scaled:
+        params = (jnp.reshape(jnp.asarray(spec.scale), ()),) + params
 
     def profile(r2, *params):
+        if scaled:
+            s, params = params[0], params[1:]
+            r2 = r2 / (s * s)
         dyn = params[:nd]
         postv = params[nd:]
         if core is None:
@@ -271,7 +317,43 @@ def build_profile(spec):
             out = out * v if op == 'mul' else out + v
         return out
 
-    return profile, spec.dyn_values + tuple(v for _, v in spec.post)
+    return profile, params
+
+
+def _term_profile(spec):
+    """(fn, params) for one SUM TERM (scale folded into the profile);
+    recurses on nested term sums."""
+    if spec.terms is None:
+        return _single_profile(spec, with_scale=True)
+    subs = [_term_profile(t) for t in spec.terms]
+    sizes = [len(p) for _, p in subs]
+    post_ops = tuple(op for op, _ in spec.post)
+    params = tuple(v for _, p in subs for v in p) \
+        + tuple(v for _, v in spec.post)
+
+    def profile(r2, *params):
+        out = jnp.zeros_like(r2)
+        i = 0
+        for (fn, _), m in zip(subs, sizes):
+            out = out + fn(r2, *params[i:i + m])
+            i += m
+        for op, v in zip(post_ops, params[i:]):
+            out = out * v if op == 'mul' else out + v
+        return out
+
+    return profile, params
+
+
+def build_profile(spec):
+    """(profile, params): a pure ``profile(r2, *params)`` suitable for
+    :func:`lsqfitgp_tpu.ops.gram`, with the dynamic (traced) init
+    arguments passed positionally.  For a term-sum spec the profile is
+    the sum of the term profiles (each term's scale applied to r²
+    inside); the TOP-LEVEL scale (single-core specs only) remains the
+    caller's job via :func:`transform_points` / ``lenscale``."""
+    if spec.terms is not None:
+        return _term_profile(spec)
+    return _single_profile(spec, with_scale=False)
 
 
 def transform_points(spec, cols):

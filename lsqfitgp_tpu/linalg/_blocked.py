@@ -790,13 +790,29 @@ def solve_lower_t(L, B, *, block=512, Dinv=None, precision=None):
     return X[:, 0] if vec else X
 
 
-def _pick_scheme(scheme):
+# 'auto' scheme switchover: strips up to this many rows, recursive
+# above.  Measured on v5e (f32, full Chol+solve+logdet pipeline,
+# uncontended, round 4): strips 8.61/17.97 TFLOP/s at n=4096/8192 vs
+# rec 7.56/16.39 (+14%/+10% — the strip panels touch each trailing
+# column exactly once per step, where the recursion re-reads the
+# trailing matrix at every level), while at n=16384+ the strip
+# scheme's O(nb²) unrolled program exceeds the compiler budget
+# (round-3 finding) and rec wins outright (28 TFLOP/s at 16384,
+# 39 at 32768, seconds-level compile).
+_STRIPS_MAX = 8192
+
+
+def _pick_scheme(scheme, n=None):
     if scheme == 'auto':
         # 'rec' (recursive halving) has the same optimal n³/3 FLOPs as
         # 'strips' but an O(nb log nb) program instead of O(nb²): it
         # compiles in seconds at n=32768 where 'strips' exceeds the
         # compiler, with bigger matmuls and ~3x less update-write HBM
-        # traffic.  'strips'/'square' kept for experimentation.
+        # traffic; below _STRIPS_MAX the strip scheme's once-per-column
+        # trailing updates win on runtime and its program is still
+        # small.  'square' kept for experimentation.
+        if n is not None and n <= _STRIPS_MAX:
+            return 'strips'
         return 'rec'
     return scheme
 
@@ -822,7 +838,7 @@ def chol_factor(K, block=512, b1=128, precision=None, scheme='auto'):
     block's inverse.  An explicit ``precision`` disables the fallback
     (single pass at that precision, lifting enabled).
     """
-    scheme = _pick_scheme(scheme)
+    scheme = _pick_scheme(scheme, K.shape[0])
     if precision is None and K.shape[0] > _ADAPTIVE_MAX:
         precision = 'high'  # single pass + lift (see _ADAPTIVE_MAX)
     if scheme == 'rec':
@@ -896,7 +912,7 @@ def chol_factor_scaled(K, s, eps, block=512, b1=128, precision=None,
     pass — ~16% of the chol+solve pipeline at n=8192).  Same contract
     as `chol_factor` otherwise; the fallback/lift pass recomputes the
     scaled Gershgorin bound it needs with one |K| matvec."""
-    scheme = _pick_scheme(scheme)
+    scheme = _pick_scheme(scheme, K.shape[0])
     if precision is None and K.shape[0] > _ADAPTIVE_MAX:
         precision = 'high'  # single pass + lift (see _ADAPTIVE_MAX)
     if scheme == 'rec':
@@ -1004,15 +1020,22 @@ def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
     Same tree contract as `_chol_rec_tree_pallas`; deeper levels (whose
     trailing matrices are materialized Schur complements) reuse the
     dense-path recursion.
+
+    ``eps`` may be a scalar (iid noise; fused into the Pallas Schur
+    kernel) or a padded ``(npad,)`` vector (heteroskedastic per-row
+    noise; the Schur kernel runs eps-free and the diagonal lands as an
+    O(w) scatter on the materialized complement).
     """
     if nreal is None:
         nreal = X.shape[0]
+    hetero = jnp.ndim(eps) == 1
 
     def epsdiag(o0, w0):
         # eps only on the REAL diagonal: identity-pad pivots stay
         # exactly 1 (log 1 = 0), matching _make_read's semantics
         gi = o0 + jnp.arange(w0)
-        return jnp.diag(jnp.where(gi < nreal, eps, 0.0).astype(X.dtype))
+        e = eps[o0:o0 + w0] if hetero else eps
+        return jnp.diag(jnp.where(gi < nreal, e, 0.0).astype(X.dtype))
 
     if kb == 1:
         D = _gram_block(X, xn, profile, params, o, o, block, block,
@@ -1052,9 +1075,18 @@ def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
     else:
         from ..ops import _syrk
         S = _syrk.schur_update_gram(
-            profile, X, xn, P, params=params, eps=eps, nreal=nreal,
+            profile, X, xn, P, params=params,
+            eps=None if hetero else eps, nreal=nreal,
             size=w, offset=o + h, tile=block, precision=precision,
             interpret=interpret)
+        if hetero:
+            # per-row noise cannot ride the kernel's scalar-eps slot:
+            # add it as an O(w) diagonal scatter on the materialized
+            # Schur complement (negligible next to the w³ factorize)
+            gi = o + h + jnp.arange(w)
+            d = jnp.where(gi < nreal, eps[o + h:o + h + w],
+                          0.0).astype(S.dtype)
+            S = S.at[jnp.arange(w), jnp.arange(w)].add(d)
     t22, d2 = _chol_rec_tree_pallas(S, None, None, o + h, o + h,
                                     kb - hb, block, b1, precision, bump,
                                     interpret)

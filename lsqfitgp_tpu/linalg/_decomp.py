@@ -306,7 +306,7 @@ class Chol(Decomposition):
                 # single lifted pass at the small eps; the degradation
                 # probes still flag heavy healing
                 escalate = False
-            scheme = _blocked._pick_scheme('auto')
+            scheme = _blocked._pick_scheme('auto', n)
             if escalate and precision is None and scheme == 'rec':
                 # single-cond three-rung ladder (high/eps →
                 # highest/eps → highest/eps2+lift); the rare rungs are
@@ -763,6 +763,17 @@ def solve_batched(decomp, B):
     return decomp.ginv_linear(B)
 
 
+def _pad_eps(eps, n, npad, dtype):
+    """Pad a per-row noise vector to the block-padded length (pad rows
+    carry 0: their diagonal is the exact identity selected by index
+    inside the kernels).  Scalars pass through untouched so the iid
+    path keeps the Pallas-fused eps."""
+    if jnp.ndim(eps) == 0:
+        return eps
+    return jnp.zeros(npad, dtype).at[:n].set(
+        jnp.broadcast_to(jnp.asarray(eps, dtype), (n,)))
+
+
 def _stream_probe_resid(tree, profile, params, Xp, n, eps, block, prec):
     """Closure computing the matvec-probe backward error of the
     streaming factorization: ``max|K̃v − L(Lᵀv)|`` for a fixed ±1
@@ -792,7 +803,9 @@ def _stream_probe_resid(tree, profile, params, Xp, n, eps, block, prec):
             real = (rows[:, None] < n) & (idx[None, :] < n)
             Kb = jnp.where(real, Kb, 0.0)
             ondiag = rows[:, None] == idx[None, :]
-            Kb = jnp.where(ondiag & (rows[:, None] < n), Kb + eps, Kb)
+            er = (lax.dynamic_slice(eps, (r0,), (block,))[:, None]
+                  if jnp.ndim(eps) == 1 else eps)
+            Kb = jnp.where(ondiag & (rows[:, None] < n), Kb + er, Kb)
             Kb = jnp.where(ondiag & (rows[:, None] >= n), 1.0, Kb)
             kv = jnp.dot(Kb, v, precision=prec)
             return acc, kv
@@ -832,11 +845,15 @@ def _stream_warn_if_degraded(dinvs, eps, k0, n, what, bump=None,
     def check():
         import warnings
         D = jnp.stack(dinvs)
+        # for heteroskedastic (vector, zero-padded) eps report the
+        # weakest REAL-row regularization — it decides feasibility
+        epsmin = (float(jnp.min(eps[:n])) if jnp.ndim(eps) == 1
+                  else float(eps))
         if not bool(jnp.all(jnp.isfinite(D))):
             warnings.warn(
                 f'{what}: the streaming factorization produced '
                 f'non-finite values: the model is numerically singular '
-                f'at {D.dtype} with eps={float(eps):.2e}.  Results are '
+                f'at {D.dtype} with eps={epsmin:.2e}.  Results are '
                 f'NaN; raise epsabs (it should be at least the model '
                 f'noise floor), reduce the correlation length, or use '
                 f'float64.'
@@ -897,7 +914,9 @@ def chol_nll_stream(profile, x, y, *, params=(), epsabs=None,
     ranges.
 
     ``epsabs`` defaults to the f32 'auto' diagonal anchor
-    ``4 * eps * profile(0)``.  Unlike :class:`Chol` there is no
+    ``4 * eps * profile(0)``; it may also be a per-point noise-variance
+    VECTOR (heteroskedastic diagonal — it rides the factorization's
+    diagonal exactly like the scalar).  Unlike :class:`Chol` there is no
     eps-escalation ladder (the escalation ``lax.cond`` would keep two
     factor trees live — the difference between n=65536 fitting one
     chip and OOM); instead the same degradation DIAGNOSTICS run
@@ -929,7 +948,8 @@ def chol_nll_stream(profile, x, y, *, params=(), epsabs=None,
     params = tuple(jnp.asarray(v, dtype) for v in params)
     k0 = profile(jnp.zeros((1, 1), dtype), *params)[0, 0]
     mach = _float_eps(dtype)
-    eps = (0.0 if epsabs is None else epsabs) + 4 * mach * k0
+    eps = _pad_eps((0.0 if epsabs is None else epsabs) + 4 * mach * k0,
+                   n, npad, dtype)
     # trace upper bound on the max eigenvalue (PSD, ~constant diag):
     # sizes the self-healing lift without a full |K| matvec
     bump = _blocked._LIFT * mach * n * k0
@@ -995,7 +1015,8 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
     params = tuple(jnp.asarray(v, dtype) for v in params)
     k0 = profile(jnp.zeros((1, 1), dtype), *params)[0, 0]
     mach = _float_eps(dtype)
-    eps = (0.0 if epsabs is None else epsabs) + 4 * mach * k0
+    eps = _pad_eps((0.0 if epsabs is None else epsabs) + 4 * mach * k0,
+                   n, npad, dtype)
     bump = _blocked._LIFT * mach * n * k0
     prec = _blocked._precision(precision)
     if interpret is None:
@@ -1126,7 +1147,10 @@ def _quad_forms_stream(profile, pvec, lenscale, eps, Xp, n, U, V,
         return acc + jnp.sum(Urow * KV), None
 
     qf, _ = lax.scan(step, jnp.zeros((), Xp.dtype), jnp.arange(nstrips))
-    return qf + eps * jnp.sum(Um * Vm)
+    rowdot = jnp.sum(Um * Vm, axis=1)
+    if jnp.ndim(eps) == 1:   # heteroskedastic diagonal (length n)
+        return qf + jnp.sum(jnp.broadcast_to(eps, (n,)) * rowdot[:n])
+    return qf + eps * jnp.sum(rowdot)
 
 
 @functools.partial(jax.custom_vjp,
@@ -1156,8 +1180,10 @@ def _nll_stream_fwd(pvec, lenscale, eps, X, y, profile, nprobes, seed,
     bump = _blocked._LIFT * mach * n * k0
     prec = _blocked._precision(precision)
     tree, dinvs = _blocked._chol_rec_tree_gram(
-        Xs, xn, profile, params, eps + 4 * mach * k0, 0, npad // block,
-        block, b1, prec, bump, jax.default_backend() != 'tpu', n)
+        Xs, xn, profile, params,
+        _pad_eps(eps + 4 * mach * k0, n, npad, dtype), 0,
+        npad // block, block, b1, prec, bump,
+        jax.default_backend() != 'tpu', n)
     ypad = jnp.concatenate([y, jnp.zeros(npad - n, dtype)])
     zt = _blocked._tree_solve_right_t(ypad[None, :], tree, dinvs,
                                       block, prec)
@@ -1235,14 +1261,15 @@ def _nll_stream_fwd_exact(pvec, lenscale, eps, X, y, profile, block,
     bump = _blocked._LIFT * mach * n * k0
     prec = _blocked._precision(precision)
     interpret = jax.default_backend() != 'tpu'
+    epsk = _pad_eps(eps + 4 * mach * k0, n, npad, dtype)
     tree, dinvs = _blocked._chol_rec_tree_gram(
-        Xs, xn, profile, params, eps + 4 * mach * k0, 0, npad // block,
+        Xs, xn, profile, params, epsk, 0, npad // block,
         block, b1, prec, bump, interpret, n, shard)
     _stream_warn_if_degraded(
-        dinvs, eps + 4 * mach * k0, k0, n, 'chol_nll_stream_grad',
+        dinvs, epsk, k0, n, 'chol_nll_stream_grad',
         bump=bump,
         resid=_stream_probe_resid(tree, profile, params, Xs, n,
-                                  eps + 4 * mach * k0, block, prec))
+                                  epsk, block, prec))
     ypad = jnp.concatenate([y, jnp.zeros(npad - n, dtype)])
     zt = _blocked._tree_solve_right_t(ypad[None, :], tree, dinvs,
                                       block, prec)
@@ -1282,8 +1309,11 @@ def _kstrip_weighted_sum(carrier, Xp, n, c0, profile, mach, pvec,
     Kb = jnp.where(real, Kb, 0.0)
     # the factorization regularizes with eps + 4*mach*profile(0); both
     # terms are θ-dependent, so both enter the exact gradient
+    # (heteroskedastic eps enters per row: d/d eps_i picks up
+    # carrier[i−c0, i] through the padded-vector gather)
     k0 = profile(jnp.zeros((1, 1), Xp.dtype), *pvec)[0, 0]
-    et = eps + 4 * mach * k0
+    etp = _pad_eps(eps + 4 * mach * k0, n, npad, Xp.dtype)
+    et = etp[c0:c0 + wk][:, None] if jnp.ndim(etp) == 1 else etp
     ondiag = (rows[:, None] == cols[None, :]) & (rows[:, None] < n)
     Kb = jnp.where(ondiag, Kb + et, Kb)
     return jnp.sum(carrier * Kb)
@@ -1311,7 +1341,7 @@ def _nll_stream_bwd_exact(profile, block, b1, gradblock, precision,
 
     gp = tuple(jnp.zeros((), dtype) for _ in pvec)
     gl = jnp.zeros((), dtype)
-    ge = jnp.zeros((), dtype)
+    ge = jnp.zeros(jnp.shape(eps), dtype)
     c0 = 0
     while c0 < npad:
         wk = min(gradblock, npad - c0)
@@ -1389,9 +1419,12 @@ def chol_nll_stream_grad(profile, x, y, *, params=(), lenscale=None,
     Differentiable arguments: ``params`` (profile parameters),
     ``lenscale`` (an isotropic input length scale applied as
     x/lenscale — coordinates themselves carry no gradient), and
-    ``epsabs`` (the noise-floor nugget).  This is what gradient-based
-    `empbayes_fit` evaluates at sizes whose dense Gram exceeds memory
-    (n = 65536 single chip).
+    ``epsabs`` (the noise-floor nugget: a scalar for iid noise, or a
+    per-point variance VECTOR for heteroskedastic noise — the exact
+    rule then returns per-element gradients, each picking up the
+    matching diagonal entry of ½(K⁻¹ − ααᵀ)).  This is what
+    gradient-based `empbayes_fit` evaluates at sizes whose dense Gram
+    exceeds memory (n = 65536 single chip).
     """
     from ..ops import _gram as _og
 

@@ -157,9 +157,10 @@ def test_diagnostic_messages(model):
     gp = lgp.GP(k, **STREAMKW).addx(x, 'd')
     with pytest.raises(ValueError, match='fast-Gram spec'):
         gp.marginal_likelihood({'d': y})
-    # matrix givencov
+    # matrix givencov (scalar and per-point vectors are the only
+    # diagonal forms the streaming solver accepts)
     gp2 = lgp.GP(lgp.ExpQuad(), **STREAMKW).addx(x, 'd')
-    with pytest.raises(ValueError, match='SCALAR'):
+    with pytest.raises(ValueError, match='vector'):
         gp2.marginal_likelihood({'d': y}, 0.01 * np.eye(n))
     # derivative element
     gp3 = lgp.GP(lgp.ExpQuad(), **STREAMKW).addx(x, 'd', deriv=1)
@@ -233,3 +234,103 @@ def test_streaming_fit_posterior_covariance(rng):
     pcov2 = np.asarray(fit2.pcov)
     # prior fallback: diagonal equals the hyperprior variances
     np.testing.assert_allclose(np.diag(pcov2), 1.0, rtol=1e-5)
+
+
+def test_vector_givencov_matches_dense(model):
+    """Heteroskedastic noise through the public surface: a per-point
+    variance VECTOR as givencov rides the streaming diagonal and
+    matches the dense solver's diagonal-matrix covariance."""
+    x, xs, y = model
+    n = x.size
+    rng = np.random.default_rng(7)
+    noise = rng.uniform(0.005, 0.05, n).astype(np.float32)
+    k = 1.4 * lgp.ExpQuad(scale=1.7)
+
+    gps = lgp.GP(k, **STREAMKW).addx(x, 'd').addx(xs, 's')
+    gpd = lgp.GP(k).addx(x, 'd').addx(xs, 's')
+
+    ml_s = float(gps.marginal_likelihood({'d': y}, noise))
+    ml_d = float(gpd.marginal_likelihood(
+        {'d': y}, {('d', 'd'): np.diag(noise.astype(float))}))
+    np.testing.assert_allclose(ml_s, ml_d, rtol=2e-3)
+
+    post_s = gps.predfromdata({'d': y}, 's', noise)
+    post_d = gpd.predfromdata(
+        {'d': y}, 's', {('d', 'd'): np.diag(noise.astype(float))})
+    np.testing.assert_allclose(np.asarray(post_s.mean),
+                               np.asarray(post_d.mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(post_s.sdev),
+                               np.asarray(post_d.sdev),
+                               rtol=3e-2, atol=1e-3)
+
+    # exact per-element noise gradient through the public ML
+    def ml(nv):
+        gp = lgp.GP(k, **STREAMKW).addx(x, 'd')
+        return gp.marginal_likelihood({'d': y}, nv)
+
+    g = jax.grad(ml)(jnp.asarray(noise))
+    assert g.shape == (n,)
+
+    def ml_dense(nv):
+        gp = lgp.GP(k).addx(x, 'd')
+        return gp.marginal_likelihood({'d': y}, jnp.diag(nv))
+
+    gd = jax.grad(ml_dense)(jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
+                               rtol=0.05, atol=0.05)
+
+
+def test_vector_givencov_validation(model):
+    x, _, y = model
+    gps = lgp.GP(lgp.ExpQuad(), **STREAMKW).addx(x, 'd')
+    with pytest.raises(ValueError, match='length'):
+        gps.marginal_likelihood({'d': y}, np.ones(x.size + 3))
+    with pytest.raises(ValueError, match='vector'):
+        gps.marginal_likelihood({'d': y}, np.eye(x.size))
+
+
+def test_sum_of_isotropic_kernels_streams(model):
+    """Multi-lengthscale mixtures — ``a1*k1(s1) + a2*k2(s2) + White``
+    — stream: the terms spec folds each scale into the summed profile,
+    and ML/gradients/posterior match the dense solver."""
+    x, xs, y = model
+    k = 1.3 * lgp.ExpQuad(scale=0.6) + 0.8 * lgp.ExpQuad(scale=3.0) \
+        + 0.02 * lgp.White()
+    spec = k._fastgram
+    assert spec is not None and spec.terms is not None \
+        and spec.noise is not None
+
+    gps = lgp.GP(k, **STREAMKW).addx(x, 'd').addx(xs, 's')
+    gpd = lgp.GP(k).addx(x, 'd').addx(xs, 's')
+    ml_s = float(gps.marginal_likelihood({'d': y}))
+    ml_d = float(gpd.marginal_likelihood({'d': y}))
+    np.testing.assert_allclose(ml_s, ml_d, rtol=2e-3)
+
+    post_s = gps.predfromdata({'d': y}, 's')
+    post_d = gpd.predfromdata({'d': y}, 's')
+    np.testing.assert_allclose(np.asarray(post_s.mean),
+                               np.asarray(post_d.mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(post_s.sdev),
+                               np.asarray(post_d.sdev),
+                               rtol=3e-2, atol=1e-3)
+
+    # exact gradient through BOTH scales (the multi-scale fit driver)
+    def ml(w):
+        kk = w[0] * lgp.ExpQuad(scale=w[1]) \
+            + w[2] * lgp.ExpQuad(scale=w[3]) + w[4] * lgp.White()
+        return lgp.GP(kk, **STREAMKW).addx(x, 'd') \
+            .marginal_likelihood({'d': y})
+
+    def ml_dense(w):
+        kk = w[0] * lgp.ExpQuad(scale=w[1]) \
+            + w[2] * lgp.ExpQuad(scale=w[3]) + w[4] * lgp.White()
+        return lgp.GP(kk).addx(x, 'd').marginal_likelihood({'d': y})
+
+    w0 = jnp.asarray([1.3, 0.6, 0.8, 3.0, 0.02], jnp.float32)
+    gs = jax.grad(ml)(w0)
+    gd = jax.grad(ml_dense)(w0)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=0.05, atol=0.05 * float(
+                                   jnp.max(jnp.abs(gd))))

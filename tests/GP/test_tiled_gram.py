@@ -100,10 +100,13 @@ def test_traced_hyperparams_grad(rng):
 
 
 def test_transformed_kernel_falls_back(rng):
-    # transformations drop the fast-Gram spec: the tiled mode must
-    # still produce correct values through the broadcast fallback
+    # value-changing transformations (other than the scalar chains,
+    # isotropic sums, and White sums the spec algebra tracks) drop the
+    # fast-Gram spec: the tiled mode must still produce correct values
+    # through the broadcast fallback
     x = rng.uniform(-3, 3, 30)
-    k = ExpQuad() + 0.5 * Cauchy(alpha=1.0, beta=1.0)
+    k = (ExpQuad() + 0.5 * Cauchy(alpha=1.0, beta=1.0)) \
+        .linop('rescale', lambda t: 1 + t ** 2)
     assert getattr(k, '_fastgram', 'missing') is None
     K1 = _prior_cov(k, x, 'tiled')
     K2 = _prior_cov(k, x, 'broadcast')
@@ -130,7 +133,11 @@ def test_spec_attached_and_dropped():
     assert k._fastgram is not None
     assert k._fastgram.scale == 2.0
     assert k.linop('scale', 3.0)._fastgram is None
-    assert (k + k)._fastgram is None
+    # sums of profiled kernels KEEP the spec as a term sum (round 4)
+    assert (k + k)._fastgram is not None \
+        and (k + k)._fastgram.terms is not None
+    # kernel PRODUCTS and batching drop it
+    assert (k * k)._fastgram is None
     assert k.batch(10e6)._fastgram is None
 
 
@@ -223,3 +230,30 @@ def test_nonnumeric_leaf_disables_fast_path(rng):
     x['t'] = rng.uniform(-1, 1, 10)
     x['flag'] = rng.uniform(size=10) > 0.5
     assert fg.leaf_columns(lgp.asarray(x)) is None
+
+
+def test_tiled_sum_of_isotropic_kernels(rng):
+    """Sums of profiled isotropic kernels keep the tiled dispatch (the
+    terms spec): each term's scale is applied to r² inside the summed
+    profile, and the whole matches the broadcast path."""
+    x = rng.uniform(-3, 3, 60)
+    k = 1.3 * ExpQuad(scale=0.7) + 0.8 * Cauchy(scale=4.0, alpha=1.5)
+    assert k._fastgram is not None and k._fastgram.terms is not None
+    K1 = _prior_cov(k, x, 'tiled')
+    K2 = _prior_cov(k, x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-4, atol32=1e-5))
+
+
+def test_tiled_sum_outer_chain_and_nesting(rng):
+    """amp * (k1 + k2) + c nests: the summed spec becomes one term of
+    the wider sum, the outer chain applies to the whole."""
+    x = rng.uniform(-2, 2, 50)
+    inner = 1.1 * ExpQuad(scale=0.5) + Maternp(p=1, scale=2.0)
+    k = 2.0 * (inner + 0.1) + 0.7 * GammaExp(gamma=1.3)
+    spec = k._fastgram
+    assert spec is not None and spec.terms is not None
+    K1 = _prior_cov(k, x, 'tiled')
+    K2 = _prior_cov(k, x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=1e-4, atol32=2e-5))

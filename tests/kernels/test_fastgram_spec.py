@@ -1,0 +1,89 @@
+"""Fast-Gram spec composition rules (`kernelalg._fastgram`): the
+dispatch bookkeeping that keeps the universal fit parameterizations —
+``amp * k(scale=s) + c``, ``+ sigma2 * White()``, and multi-scale sums
+``a1*k1(s1) + a2*k2(s2)`` — on the tiled/streaming path.  The GP-level
+parity lives in tests/GP/test_tiled_gram.py and test_stream_solver.py;
+this file pins the spec algebra itself."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import lsqfitgp_tpu as lgp
+from lsqfitgp_tpu.kernelalg import _fastgram as fg
+
+
+def _profile_value(kernel, r2):
+    profile, params = fg.build_profile(kernel._fastgram)
+    return np.asarray(profile(jnp.asarray(r2), *params))
+
+
+def test_sum_two_profiled_makes_terms():
+    k = 1.3 * lgp.ExpQuad(scale=0.7) + 0.8 * lgp.Cauchy(scale=4.0)
+    spec = k._fastgram
+    assert spec is not None
+    assert spec.terms is not None and len(spec.terms) == 2
+    assert spec.core is None and spec.scale is None and spec.loc is None
+    r2 = np.linspace(0, 30, 64)
+    want = 1.3 * np.exp(-0.5 * r2 / 0.7 ** 2) \
+        + 0.8 / (1 + r2 / (2 * 4.0 ** 2))
+    np.testing.assert_allclose(_profile_value(k, r2), want, rtol=1e-6)
+
+
+def test_sum_flattens_without_outer_chain():
+    k = lgp.ExpQuad(scale=0.5) + lgp.ExpQuad(scale=1.0) \
+        + lgp.ExpQuad(scale=2.0)
+    assert len(k._fastgram.terms) == 3
+
+
+def test_sum_nests_with_outer_chain():
+    inner = lgp.ExpQuad(scale=0.5) + lgp.ExpQuad(scale=2.0)
+    k = 2.0 * inner + lgp.ExpQuad(scale=1.0)
+    spec = k._fastgram
+    # the chained sum cannot flatten (its 'mul 2' applies to the pair
+    # only), so it becomes ONE nested term
+    assert len(spec.terms) == 2
+    assert spec.terms[0].terms is not None or spec.terms[1].terms is not None
+    r2 = np.linspace(0, 10, 32)
+    want = 2.0 * (np.exp(-0.5 * r2 / 0.25) + np.exp(-0.5 * r2 / 4.0)) \
+        + np.exp(-0.5 * r2)
+    np.testing.assert_allclose(_profile_value(k, r2), want, rtol=1e-6)
+
+
+def test_sum_accumulates_noise_and_maxdim():
+    k = (1.0 * lgp.ExpQuad(scale=0.5) + 0.1 * lgp.White()) \
+        + (lgp.Wendland(k=1) + 0.2 * lgp.White())
+    spec = k._fastgram
+    assert spec is not None and spec.terms is not None
+    np.testing.assert_allclose(float(spec.noise), 0.3, rtol=1e-6)
+    # Wendland(k=1) has a finite maxdim; the sum inherits the
+    # tightest bound of its terms
+    assert spec.maxdim == lgp.Wendland(k=1)._fastgram.maxdim \
+        and spec.maxdim is not None and np.isfinite(spec.maxdim)
+
+
+def test_loc_drops_in_sums():
+    """loc cancels in the distance, so a located kernel still sums."""
+    k = lgp.ExpQuad(scale=0.7, loc=2.0) + lgp.ExpQuad(scale=1.5)
+    spec = k._fastgram
+    assert spec is not None and spec.terms is not None
+    assert all(t.loc is None for t in spec.terms)
+    r2 = np.linspace(0, 10, 32)
+    want = np.exp(-0.5 * r2 / 0.49) + np.exp(-0.5 * r2 / 2.25)
+    np.testing.assert_allclose(_profile_value(k, r2), want, rtol=1e-6)
+
+
+def test_product_of_kernels_drops_spec():
+    """k1 * k2 (kernel PRODUCT) stays on the broadcast path."""
+    k = lgp.ExpQuad(scale=0.7) * lgp.ExpQuad(scale=1.5)
+    assert k._fastgram is None
+
+
+def test_traced_scales_ride_params():
+    """Traced per-term scales appear in the packed parameter vector so
+    hyperparameter gradients flow through the summed profile."""
+    s1 = jnp.asarray(0.7)
+    s2 = jnp.asarray(3.0)
+    k = lgp.ExpQuad(scale=s1) + lgp.ExpQuad(scale=s2)
+    profile, params = fg.build_profile(k._fastgram)
+    vals = [float(p) for p in params]
+    assert 0.7 in vals and 3.0 in vals

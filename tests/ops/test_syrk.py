@@ -377,3 +377,108 @@ def test_schur_update_gram_offset_pads(rng):
         .repeat(tile, 0).repeat(tile, 1)
     np.testing.assert_allclose(np.asarray(got)[keep], ref[keep],
                                rtol=2e-5, atol=2e-4)
+
+
+def test_chol_nll_stream_heteroskedastic_matches_dense(rng):
+    """Per-point noise VECTOR on the streaming diagonal: value, exact
+    per-element noise gradient, and amp gradient all match the dense
+    path.  Exercises both diagonal routes (n > block so the trailing
+    Schur complement carries part of the diagonal)."""
+    from lsqfitgp_tpu.linalg import chol_nll, chol_nll_stream, \
+        chol_nll_stream_grad
+
+    n = 300                       # block=128: 3 strips slice the diag
+    x = np.sort(rng.uniform(-5, 5, n))
+    y = rng.standard_normal(n)
+    noise = rng.uniform(0.05, 0.5, n)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+    xf = jnp.asarray(x, jnp.float32)
+    yf = jnp.asarray(y, jnp.float32)
+    nf = jnp.asarray(noise, jnp.float32)
+    amp = jnp.float32(1.3)
+
+    def dense(nv, a):
+        d2 = (xf[:, None] - xf[None, :]) ** 2
+        K = a * jnp.exp(-0.5 * d2) + jnp.diag(nv)
+        return chol_nll(K, yf, epsrel=0, epsabs=0)
+
+    got = float(chol_nll_stream(profile, xf, yf, params=(amp,),
+                                epsabs=nf, block=128, b1=128,
+                                precision='highest'))
+    want = float(dense(nf, amp))
+    assert abs(got - want) / abs(want) < 1e-3, (got, want)
+
+    def stream(nv, a):
+        return chol_nll_stream_grad(
+            profile, xf, yf, params=(a,), epsabs=nv, exact=True,
+            block=128, b1=128, gradblock=128, precision='highest')
+
+    (gn, ga) = jax.grad(stream, argnums=(0, 1))(nf, amp)
+    (gn_d, ga_d) = jax.grad(dense, argnums=(0, 1))(nf, amp)
+    assert gn.shape == (n,)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_d),
+                               rtol=0.02, atol=1e-3)
+    np.testing.assert_allclose(float(ga), float(ga_d), rtol=0.02,
+                               atol=2e-4 * abs(want))
+
+
+def test_chol_nll_stream_heteroskedastic_hutchinson(rng):
+    """The Hutchinson fallback's eps-vector gradient uses the exact
+    diagonal term (u_i v_i contraction), so it matches dense closely
+    even at few probes."""
+    from lsqfitgp_tpu.linalg import chol_nll, chol_nll_stream_grad
+
+    n = 256
+    x = np.sort(rng.uniform(-5, 5, n))
+    y = rng.standard_normal(n)
+    noise = rng.uniform(0.05, 0.5, n)
+    xf = jnp.asarray(x, jnp.float32)
+    yf = jnp.asarray(y, jnp.float32)
+    nf = jnp.asarray(noise, jnp.float32)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+
+    gn = jax.grad(lambda nv: chol_nll_stream_grad(
+        profile, xf, yf, params=(jnp.float32(1.3),), epsabs=nv,
+        exact=False, nprobes=512, seed=0, block=128, b1=128))(nf)
+
+    def dense(nv):
+        d2 = (xf[:, None] - xf[None, :]) ** 2
+        K = jnp.float32(1.3) * jnp.exp(-0.5 * d2) + jnp.diag(nv)
+        return chol_nll(K, yf, epsrel=0, epsabs=0)
+
+    gn_d = jax.grad(dense)(nf)
+    # the Hutchinson trace estimate perturbs the diagonal carrier too,
+    # so per-element agreement is probe-noise-limited
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_d),
+                               rtol=0.3, atol=0.05)
+
+
+def test_chol_pred_stream_heteroskedastic_matches_dense(rng):
+    """Streaming posterior mean/variance with a per-point noise
+    vector."""
+    from lsqfitgp_tpu.linalg import chol_pred_stream
+
+    n, ns = 300, 40
+    x = np.sort(rng.uniform(-5, 5, n))
+    xs = np.linspace(-4.5, 4.5, ns)
+    y = np.sin(1.5 * x) + 0.1 * rng.standard_normal(n)
+    noise = rng.uniform(0.01, 0.2, n)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+    amp = 1.3
+
+    mean, var = chol_pred_stream(
+        profile, jnp.asarray(x, jnp.float32),
+        jnp.asarray(y, jnp.float32), jnp.asarray(xs, jnp.float32),
+        params=(jnp.float32(amp),), epsabs=jnp.asarray(noise, jnp.float32),
+        block=128, b1=128, precision='highest', return_var=True)
+
+    d2 = (x[:, None] - x[None, :]) ** 2
+    K = amp * np.exp(-0.5 * d2) + np.diag(noise)
+    Ks = amp * np.exp(-0.5 * (xs[:, None] - x[None, :]) ** 2)
+    sol = np.linalg.solve(K, y)
+    want_mean = Ks @ sol
+    want_var = amp - np.sum(Ks * np.linalg.solve(K, Ks.T).T, axis=1)
+    np.testing.assert_allclose(np.asarray(mean), want_mean,
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var), want_var,
+                               rtol=2e-2, atol=1e-4)

@@ -402,3 +402,41 @@ def test_stream_nll_distributed_grad_matches_dense(rng):
     np.testing.assert_allclose(float(v), float(vd), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
                                rtol=0.02, atol=2e-4 * abs(float(vd)))
+
+
+def test_stream_nll_distributed_grad_heteroskedastic(rng):
+    """Vector (heteroskedastic) noise through the row-sharded streaming
+    NLL: value and per-element noise gradient match dense."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from lsqfitgp_tpu.parallel import stream_nll_distributed_grad
+    from lsqfitgp_tpu.linalg import chol_nll
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ('r',))
+    n = 256
+    x = np.sort(rng.uniform(-5, 5, n))
+    y = rng.standard_normal(n)
+    noise = rng.uniform(0.05, 0.3, n)
+    profile = lambda r2, a: a * jnp.exp(-0.5 * r2)
+    nf = jnp.asarray(noise, jnp.float32)
+
+    def f(nv):
+        return stream_nll_distributed_grad(
+            profile, jnp.asarray(x, jnp.float32),
+            jnp.asarray(y, jnp.float32),
+            params=(jnp.float32(1.3),), epsabs=nv, mesh=mesh,
+            block=128, b1=128, gradblock=128)
+
+    v, g = jax.jit(jax.value_and_grad(f))(nf)
+
+    def f_dense(nv):
+        xf = jnp.asarray(x, jnp.float32)
+        d2 = (xf[:, None] - xf[None, :]) ** 2
+        K = jnp.float32(1.3) * jnp.exp(-0.5 * d2) + jnp.diag(nv)
+        return chol_nll(K, jnp.asarray(y, jnp.float32),
+                        epsrel=0, epsabs=0)
+
+    vd, gd = jax.value_and_grad(f_dense)(nf)
+    np.testing.assert_allclose(float(v), float(vd), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
+                               rtol=0.02, atol=1e-3)
