@@ -38,7 +38,8 @@ from ._pytree import AutoPyTree
 from .._jaxutil import skipifabstract
 
 __all__ = ['Decomposition', 'Chol', 'chol_nll', 'chol_nll_stream',
-           'chol_nll_stream_grad', 'chol_pred_stream', 'solve_batched']
+           'chol_nll_stream_grad', 'chol_pred_stream',
+           'chol_stream_fisher', 'solve_batched']
 
 
 def _float_eps(dtype):
@@ -1442,3 +1443,144 @@ def chol_nll_stream_grad(profile, x, y, *, params=(), lenscale=None,
                                       int(gradblock), precision, None)
     return _nll_stream_core(pvec, ls, ep, X, y, profile, int(nprobes),
                             int(seed), int(block), int(b1), precision)
+
+
+def _kmat_stream(profile, pvec, lenscale, eps, Xp, n, T, block, prec,
+                 mach):
+    """(K̃(θ) T) over the padded points, streamed over row strips:
+    K̃ = mask(K) + diag(ε̃) with the pad rows/cols masked to zero and
+    ε̃ the factorization's regularized diagonal (eps + 4·mach·k(0),
+    zero on the pad tail) — the SAME virtual matrix the factor tree
+    decomposes, so forward-mode derivatives of this map are exactly
+    dK̃_a T.  Memory: one (block, npad) Gram strip transient."""
+    npad = Xp.shape[0]
+    nstrips = npad // block
+    dtype = Xp.dtype
+    Xs = Xp / lenscale
+    cols = jnp.arange(npad)
+    Tm = T * (cols < n).astype(dtype)[:, None]
+    k0 = profile(jnp.zeros((1, 1), dtype), *pvec)[0, 0]
+    etp = _pad_eps(eps + 4 * mach * k0, n, npad, dtype)
+
+    def step(j):
+        r0 = j * block
+        Xr = lax.dynamic_slice(Xs, (r0, 0), (block, Xs.shape[1]))
+        c = jnp.mean(Xr, axis=0, keepdims=True)
+        Xr2 = Xr - c
+        Xc2 = Xs - c
+        xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
+        xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
+        cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
+        r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+        Kb = profile(r2, *pvec)                       # (block, npad)
+        rows = r0 + jnp.arange(block)
+        real = (rows[:, None] < n) & (cols[None, :] < n)
+        Kb = jnp.where(real, Kb, 0.0)
+        out = jnp.dot(Kb, Tm, precision=prec)         # (block, w)
+        er = (lax.dynamic_slice(etp, (r0,), (block,))
+              if jnp.ndim(etp) == 1
+              else jnp.where(rows < n, etp, 0.0))
+        Trow = lax.dynamic_slice(Tm, (r0, 0), (block, Tm.shape[1]))
+        return out + er[:, None] * Trow
+
+    out = lax.map(step, jnp.arange(nstrips))          # (nstrips, b, w)
+    return out.reshape(npad, T.shape[1])
+
+
+def chol_stream_fisher(profile, x, *, params=(), lenscale=None,
+                       epsabs=1e-4, tangents, dr=None, block=512,
+                       b1=128, fisherblock=None, precision='high'):
+    """EXACT expected-information (Fisher) matrix of the streaming
+    Gaussian NLL in arbitrary hyperparameter directions, with the Gram
+    never materialized — the streaming analog of ``Chol.fisher``
+    (reference exact-information contract,
+    ``/root/reference/src/lsqfitgp/_linalg/_decomp.py:509-547``):
+
+        F_ab = ½ tr(K⁻¹ dK_a K⁻¹ dK_b)  [+ dr_a' K⁻¹ dr_b]
+
+    ``tangents`` is a sequence of P directions, each a triple
+    ``(params_t, lenscale_t, eps_t)`` matching the structure of
+    ``(params, lenscale, epsabs)`` (``eps_t`` a scalar or a per-point
+    vector for heteroskedastic noise — the chain rule happens HERE, so
+    an n-dimensional noise parametrization never produces an n×n
+    Fisher block).  ``dr`` is an optional (n, P) matrix of data-mean
+    sensitivities contributing the ``dr' K⁻¹ dr`` term.
+
+    Algorithm: factor once into the Gram-fused tree, then for each
+    column strip S of width ``fisherblock`` compute T = L⁻ᵀ E_S by one
+    tree solve, push each tangent through the streamed matmul
+    U_a = dK̃_a T with ``jax.jvp`` (forward mode: no stored strips),
+    solve V_a = L⁻¹ U_a, and accumulate F_ab += ½⟨V_a, V_b⟩ — this is
+    ⟨B_a, B_b⟩_F/2 for B_a = L⁻¹ dK_a L⁻ᵀ, summed exactly over strips.
+    Cost ~(1+3P)/3 · n³ extra MACs past the factorization; memory four
+    (fisherblock, npad) strip buffers, nothing n².
+
+    Returns the (P, P) Fisher matrix (likelihood term only — add the
+    prior's information yourself).
+    """
+    from ..ops import _gram as _og
+
+    X, dtype = _og._prep(x)
+    X = (X - jnp.mean(X, axis=0, keepdims=True)).astype(dtype)
+    pvec = tuple(jnp.asarray(v, dtype) for v in params)
+    ls = jnp.asarray(1.0 if lenscale is None else lenscale, dtype)
+    ep = jnp.asarray(epsabs, dtype)
+    tangents = [
+        (tuple(jnp.asarray(t, dtype) for t in tp),
+         jnp.asarray(0.0 if tl is None else tl, dtype),
+         jnp.asarray(te, dtype) if jnp.ndim(te) or jnp.ndim(ep) == 0
+         else jnp.broadcast_to(jnp.asarray(te, dtype), ep.shape))
+        for tp, tl, te in tangents
+    ]
+    P = len(tangents)
+    block = int(block)
+    if fisherblock is None:
+        fisherblock = 2 * block
+    n = X.shape[0]
+    npad = -(-n // block) * block
+    Xp = jnp.zeros((npad, X.shape[1]), dtype).at[:n].set(X)
+    if npad != n:
+        Xp = Xp.at[n:].set(X[n - 1])
+    Xs = Xp / ls
+    xn = jnp.sum(Xs * Xs, axis=-1, keepdims=True)
+    k0 = profile(jnp.zeros((1, 1), dtype), *pvec)[0, 0]
+    mach = _float_eps(dtype)
+    bump = _blocked._LIFT * mach * n * k0
+    prec = _blocked._precision(precision)
+    interpret = jax.default_backend() != 'tpu'
+    epsk = _pad_eps(ep + 4 * mach * k0, n, npad, dtype)
+    tree, dinvs = _blocked._chol_rec_tree_gram(
+        Xs, xn, profile, pvec, epsk, 0, npad // block,
+        block, int(b1), prec, bump, interpret, n)
+
+    def kmat(pv, l, e, T):
+        return _kmat_stream(profile, pv, l, e, Xp, n, T, block, prec,
+                            mach)
+
+    F = jnp.zeros((P, P), dtype)
+    c0 = 0
+    while c0 < npad:
+        wk = min(int(fisherblock), npad - c0)
+        E = jnp.zeros((wk, npad), dtype) \
+            .at[:, c0:c0 + wk].set(jnp.eye(wk, dtype=dtype))
+        Tt = _blocked._tree_solve_right(E, tree, dinvs, block, prec)
+        T = Tt.T                                     # L⁻ᵀ E_S' (npad, w)
+        Vts = []
+        for tp, tl, te in tangents:
+            _, U = jax.jvp(kmat, (pvec, ls, ep, T),
+                           (tp, tl, te, jnp.zeros_like(T)))
+            Vts.append(_blocked._tree_solve_right_t(
+                U.T, tree, dinvs, block, prec))      # (w, npad) = V_a'
+        Vs = jnp.stack(Vts)                          # (P, w, npad)
+        F = F + 0.5 * jnp.einsum('awn,bwn->ab', Vs, Vs,
+                                 precision=prec)
+        c0 += wk
+
+    if dr is not None:
+        dr = jnp.asarray(dr, dtype)
+        drp = jnp.zeros((npad, P), dtype).at[:n].set(dr)
+        Zt = _blocked._tree_solve_right_t(drp.T, tree, dinvs, block,
+                                          prec)     # (P, npad) = (L⁻¹dr)'
+        F = F + jnp.dot(Zt, Zt.T, precision=prec)
+
+    return 0.5 * (F + F.T)

@@ -482,3 +482,65 @@ def test_chol_pred_stream_heteroskedastic_matches_dense(rng):
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(var), want_var,
                                rtol=2e-2, atol=1e-4)
+
+
+def test_chol_stream_fisher_matches_dense(rng):
+    """chol_stream_fisher (strip-streamed exact expected information,
+    round-4 'streaming Fisher' frontier) vs the dense Chol.fisher on
+    the same regularized matrix, including the dr term and a
+    heteroskedastic noise-vector tangent.  Reference information
+    contract: /root/reference/src/lsqfitgp/_linalg/_decomp.py:509-547."""
+    from lsqfitgp_tpu.linalg import Chol, chol_stream_fisher
+
+    n = 260
+    X = rng.uniform(-3, 3, (n, 2))
+    hetero = rng.uniform(0.01, 0.1, n)
+
+    def profile(r2, a, w):
+        return a * jnp.exp(-0.5 * r2) + 0.1 * jnp.exp(-0.5 * w * r2)
+
+    dtype = jnp.asarray(1.0).dtype
+    f32 = dtype == jnp.float32
+    mach = float(np.finfo(np.dtype(str(dtype))).eps)
+    amp, w, ls = dtype.type(1.5), dtype.type(0.3), dtype.type(1.3)
+    ep = jnp.asarray(hetero, dtype)
+    Xj = jnp.asarray(X, dtype)
+    Xc = Xj - jnp.mean(Xj, axis=0, keepdims=True)
+
+    def K_of(theta):
+        a, wd, l = theta[0], theta[1], theta[2]
+        evec = ep * theta[3]
+        d = Xc / l
+        r2 = jnp.sum((d[:, None, :] - d[None, :, :]) ** 2, axis=-1)
+        k0 = profile(jnp.zeros((1, 1), dtype), a, wd)[0, 0]
+        return profile(r2, a, wd) \
+            + jnp.diag(evec + 4 * mach * k0)
+
+    theta0 = jnp.asarray([amp, w, ls, 1.0], dtype)
+    K0 = K_of(theta0)
+    dK = jax.jacfwd(K_of)(theta0)
+    dr = jnp.asarray(rng.standard_normal((n, 4)), dtype)
+    Fd = Chol(K0, epsabs=0.0, epsrel=0.0).fisher(
+        jnp.moveaxis(dK, -1, 0), dr.T)
+
+    # the 4th direction is the amplitude of the heteroskedastic noise
+    # VECTOR: its tangent is the vector itself (the chain rule happens
+    # inside chol_stream_fisher, so no n×n Fisher block ever exists)
+    zero2 = (jnp.zeros((), dtype), jnp.zeros((), dtype))
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    zvec = jnp.zeros(n, dtype)
+    tangents = [
+        ((one, zero), zero, zvec),
+        ((zero, one), zero, zvec),
+        (zero2, one, zvec),
+        (zero2, zero, ep),
+    ]
+    Fs = chol_stream_fisher(
+        profile, Xj, params=(amp, w), lenscale=ls, epsabs=ep,
+        tangents=tangents, dr=dr, block=128, b1=128,
+        precision='highest')
+    np.testing.assert_allclose(
+        np.asarray(Fs), np.asarray(Fd),
+        rtol=(2e-2 if f32 else 1e-8),
+        atol=(1e-3 if f32 else 1e-10) * float(jnp.max(jnp.abs(Fd))))
