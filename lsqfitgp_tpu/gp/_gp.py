@@ -801,11 +801,12 @@ class GP:
         def bail(msg):
             raise ValueError(
                 "solver='chol-stream' needs a model of the form 'one "
-                "isotropic-kernel process + diagonal noise' (a single "
-                "addx element, kernel = isotropic constructor "
-                "optionally inside scalar amp*k + c chains and "
-                "+ sigma2*White() sums, givencov a scalar or a "
-                f"per-point variance vector): {msg}"
+                "isotropic-kernel (or 1-D stationary-kernel) process "
+                "+ diagonal noise' (a single addx element, kernel = "
+                "isotropic or 1-D stationary constructor optionally "
+                "inside scalar amp*k + c chains and + sigma2*White() "
+                "sums, givencov a scalar or a per-point variance "
+                f"vector): {msg}"
             )
 
         if len(inkeys) != 1:

@@ -30,9 +30,9 @@ def _extract(kernel, x):
     if spec is None or (spec.core is None and spec.terms is None):
         raise ValueError(
             'kernel carries no fast-Gram spec: the streaming pipeline '
-            'needs an isotropic constructor kernel (optionally inside '
-            'scalar mul/add chains, sums of isotropic kernels, and '
-            'White sums), e.g. amp * ExpQuad(scale=s) + n * White()'
+            'needs an isotropic or 1-D stationary constructor kernel '
+            '(optionally inside scalar mul/add chains, kernel sums, '
+            'and White sums), e.g. amp * ExpQuad(scale=s) + n * White()'
         )
     cols = _fg.leaf_columns(_array.asarray(x))
     if cols is None:

@@ -129,6 +129,17 @@ def make_spec(core, mode, kw):
             dyn_names.append(k)
             dyn_values.append(jnp.reshape(v, ()))
         else:
+            try:
+                import numpy as _np
+                if not isinstance(v, (str, bytes, type(None))) \
+                        and _np.ndim(v) > 0:
+                    # non-scalar static argument (e.g. MA's weight
+                    # vector): the profile closure would bake it into
+                    # an ARRAY CONSTANT, which Pallas kernels cannot
+                    # capture — stay on the broadcast path
+                    return None
+            except TypeError:
+                pass
             static_kw[k] = v
     return FastGramSpec(
         core=core, mode=mode, static_kw=static_kw,

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from jax import numpy as jnp
 
-from . import _core, _util
+from . import _core, _fastgram, _util
 
 __all__ = ['CrossStationaryKernel', 'StationaryKernel']
 
@@ -46,7 +46,31 @@ class CrossStationaryKernel(_core.CrossKernel):
             q = _util.map_recurse_fields(dist, x, y)
             return core(q, **kwargs)
 
-        return super().__new__(cls, newcore, **kw)
+        self = super().__new__(cls, newcore, **kw)
+        if not self._dynkw:
+            # In ONE dimension a stationary kernel of |Δ| IS an
+            # isotropic kernel of the Euclidean distance r = √r², so
+            # 'abs'/'posabs' cores ride the same tiled/streaming
+            # fast-Gram dispatch as isotropic constructors (the spec's
+            # 'abs'/'posabs' modes already feed the core √r²).  A
+            # SYMMETRIC 'signed' kernel qualifies too: k(x, y) = k(y, x)
+            # forces the core to be an even function of Δ, so values at
+            # |Δ| are identical (cross kernels need not be even — they
+            # stay on the broadcast path).
+            mode = input
+            if input == 'signed':
+                mode = 'abs' if issubclass(cls, _core.Kernel) else None
+            if mode is not None:
+                spec = _fastgram.make_spec(core, mode, kw)
+                if spec is not None:
+                    # the r²-profile equals the per-field stationary
+                    # core only when a SINGLE coordinate column enters
+                    # the distance
+                    md = spec.maxdim
+                    spec = spec._replace(
+                        maxdim=1 if md is None else min(md, 1))
+                self._fastgram = spec
+        return self
 
 
 class StationaryKernel(CrossStationaryKernel, _core.Kernel):

@@ -38,7 +38,10 @@ def MA(delta, w=None, norm=False):
     acf = jnp.convolve(w, w[::-1])
     if norm:
         acf = acf / acf[w.size - 1]
-    idx = delta.astype(int) + (w.size - 1)
+    # round-to-nearest lag: exact on integer inputs, and robust to the
+    # O(eps·Δ) float error of the tiled/streaming path's Δ = √r²
+    # (truncation would read lag 4 from Δ = 4.99999)
+    idx = jnp.round(delta).astype(int) + (w.size - 1)
     return acf.at[idx].get(mode='fill', fill_value=0)
 
 
@@ -226,7 +229,9 @@ def _ARBase(delta, phi=None, gamma=None, maxlag=None, slnr=None, lnc=None,
         acf = jnp.concatenate([gam, ext])
     else:
         acf = gam
-    return acf.at[delta.astype(int)].get(mode='fill', fill_value=jnp.nan)
+    # round-to-nearest lag (see MA): robust to √r² float error
+    return acf.at[jnp.round(delta).astype(int)].get(mode='fill',
+                                                    fill_value=jnp.nan)
 
 
 class AR(_ARBase):

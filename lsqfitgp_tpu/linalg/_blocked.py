@@ -985,14 +985,22 @@ def _gram_block(X, xn, profile, params, r0, c0, h, w, precision=None,
     unused but kept in the signature for symmetry."""
     Xr = X[r0:r0 + h]
     Xc = X[c0:c0 + w]
-    c = 0.5 * (jnp.mean(Xr, axis=0, keepdims=True)
-               + jnp.mean(Xc, axis=0, keepdims=True))
-    Xr = Xr - c
-    Xc = Xc - c
-    xnr = jnp.sum(Xr * Xr, axis=1, keepdims=True)
-    xnc = jnp.sum(Xc * Xc, axis=1, keepdims=True)
-    cross = jnp.dot(Xr, Xc.T, precision=lax.Precision.HIGHEST)
-    r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+    if X.shape[1] == 1:
+        # p = 1: the outer difference is EXACT in f32 (single
+        # subtraction, relative error eps·|Δ|) — no norm-expansion
+        # cancellation, so √r²-mode profiles (1-D stationary kernels)
+        # keep full precision near the diagonal
+        d = Xr[:, :1] - Xc[:, :1].T
+        r2 = d * d
+    else:
+        c = 0.5 * (jnp.mean(Xr, axis=0, keepdims=True)
+                   + jnp.mean(Xc, axis=0, keepdims=True))
+        Xr = Xr - c
+        Xc = Xc - c
+        xnr = jnp.sum(Xr * Xr, axis=1, keepdims=True)
+        xnc = jnp.sum(Xc * Xc, axis=1, keepdims=True)
+        cross = jnp.dot(Xr, Xc.T, precision=lax.Precision.HIGHEST)
+        r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
     t = profile(r2, *params)
     if nreal is not None:
         # exact blockdiag(K, I) padding tail by global index

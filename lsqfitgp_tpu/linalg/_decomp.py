@@ -775,6 +775,25 @@ def _pad_eps(eps, n, npad, dtype):
         jnp.broadcast_to(jnp.asarray(eps, dtype), (n,)))
 
 
+def _r2_pairs(Xr, Xc, c):
+    """Squared distances between two point strips.  p = 1 (time series,
+    1-D regression) takes the EXACT outer difference — a single
+    subtraction with relative error eps·|Δ|, no norm-expansion
+    cancellation, so √r²-mode profiles (1-D stationary kernels) keep
+    full precision near the diagonal where the expansion's absolute
+    ~eps·‖x−c‖² error would cost ~√eps·‖x‖ of distance.  p > 1 centers
+    both strips on ``c`` and uses the MXU norm expansion."""
+    if Xr.shape[1] == 1:
+        d = Xr[:, :1] - Xc[:, :1].T
+        return d * d
+    Xr2 = Xr - c
+    Xc2 = Xc - c
+    xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
+    xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
+    cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
+    return jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+
+
 def _stream_probe_resid(tree, profile, params, Xp, n, eps, block, prec):
     """Closure computing the matvec-probe backward error of the
     streaming factorization: ``max|K̃v − L(Lᵀv)|`` for a fixed ±1
@@ -791,14 +810,7 @@ def _stream_probe_resid(tree, profile, params, Xp, n, eps, block, prec):
         def step(acc, j):
             r0 = j * block
             Xr = lax.dynamic_slice(Xp, (r0, 0), (block, Xp.shape[1]))
-            c = jnp.mean(Xr, axis=0, keepdims=True)
-            Xr2 = Xr - c
-            Xc2 = Xp - c
-            xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
-            xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
-            cross = jnp.dot(Xr2, Xc2.T,
-                            precision=lax.Precision.HIGHEST)
-            r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+            r2 = _r2_pairs(Xr, Xp, jnp.mean(Xr, axis=0, keepdims=True))
             Kb = profile(r2, *params)
             rows = r0 + jnp.arange(block)
             real = (rows[:, None] < n) & (idx[None, :] < n)
@@ -1049,13 +1061,7 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
         # distance to the strip, so the r² error is relative for every
         # (prediction point, strip) pair — centering on the whole
         # prediction set's mean breaks near pairs on wide ranges
-        c = jnp.mean(Xc, axis=0, keepdims=True)
-        Xr2 = Xsq - c
-        Xc2 = Xc - c
-        xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
-        xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
-        cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
-        r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+        r2 = _r2_pairs(Xsq, Xc, jnp.mean(Xc, axis=0, keepdims=True))
         Kb = profile(r2, *params)
         # pad columns carry alpha = 0 (zero-padded rhs solves), but
         # mask anyway for exactness
@@ -1073,13 +1079,8 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
         def cross_strip(j):
             c0 = j * block
             Xc = lax.dynamic_slice(Xp, (c0, 0), (block, Xp.shape[1]))
-            c = jnp.mean(Xc, axis=0, keepdims=True)
-            Xr2 = Xsq - c
-            Xc2 = Xc - c
-            xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
-            xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
-            cr = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
-            r2 = jnp.maximum(xnr + xnc.T - 2 * cr, 0.0)
+            r2 = _r2_pairs(Xsq, Xc,
+                           jnp.mean(Xc, axis=0, keepdims=True))
             Kb = profile(r2, *params)
             gi = c0 + jnp.arange(block)
             return jnp.where((gi < n)[None, :], Kb, 0.0)  # (ns, block)
@@ -1091,11 +1092,8 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
         if return_cov:
             # small dense output prior block (mean-centered norm
             # expansion; ns is small by contract)
-            cs = jnp.mean(Xsq, axis=0, keepdims=True)
-            Xc = Xsq - cs
-            xnc = jnp.sum(Xc * Xc, axis=1, keepdims=True)
-            cr = jnp.dot(Xc, Xc.T, precision=lax.Precision.HIGHEST)
-            r2s = jnp.maximum(xnc + xnc.T - 2 * cr, 0.0)
+            r2s = _r2_pairs(Xsq, Xsq,
+                            jnp.mean(Xsq, axis=0, keepdims=True))
             Kss = profile(r2s, *params)
             cov = Kss - jnp.dot(W, W.T, precision=prec)
             cov = 0.5 * (cov + cov.T)
@@ -1135,13 +1133,7 @@ def _quad_forms_stream(profile, pvec, lenscale, eps, Xp, n, U, V,
     def step(acc, j):
         r0 = j * block
         Xr = lax.dynamic_slice(Xs, (r0, 0), (block, Xs.shape[1]))
-        c = jnp.mean(Xr, axis=0, keepdims=True)
-        Xr2 = Xr - c
-        Xc2 = Xs - c
-        xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
-        xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
-        cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
-        r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+        r2 = _r2_pairs(Xr, Xs, jnp.mean(Xr, axis=0, keepdims=True))
         Kb = profile(r2, *pvec)                      # (block, npad)
         Urow = lax.dynamic_slice(Um, (r0, 0), (block, Um.shape[1]))
         KV = jnp.dot(Kb, Vm, precision=precision)    # (block, m)
@@ -1295,14 +1287,8 @@ def _kstrip_weighted_sum(carrier, Xp, n, c0, profile, mach, pvec,
     Xs = Xp / lenscale
     Xr = Xs[c0:c0 + wk]
     # strip-centered norm expansion (same accuracy rationale as the
-    # factorization's per-tile-pair centering)
-    c = jnp.mean(Xr, axis=0, keepdims=True)
-    Xr2 = Xr - c
-    Xc2 = Xs - c
-    xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
-    xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
-    cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
-    r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+    # factorization's per-tile-pair centering); exact diff at p = 1
+    r2 = _r2_pairs(Xr, Xs, jnp.mean(Xr, axis=0, keepdims=True))
     Kb = profile(r2, *pvec)
     rows = c0 + jnp.arange(wk)
     cols = jnp.arange(npad)
@@ -1465,13 +1451,7 @@ def _kmat_stream(profile, pvec, lenscale, eps, Xp, n, T, block, prec,
     def step(j):
         r0 = j * block
         Xr = lax.dynamic_slice(Xs, (r0, 0), (block, Xs.shape[1]))
-        c = jnp.mean(Xr, axis=0, keepdims=True)
-        Xr2 = Xr - c
-        Xc2 = Xs - c
-        xnr = jnp.sum(Xr2 * Xr2, axis=1, keepdims=True)
-        xnc = jnp.sum(Xc2 * Xc2, axis=1, keepdims=True)
-        cross = jnp.dot(Xr2, Xc2.T, precision=lax.Precision.HIGHEST)
-        r2 = jnp.maximum(xnr + xnc.T - 2 * cross, 0.0)
+        r2 = _r2_pairs(Xr, Xs, jnp.mean(Xr, axis=0, keepdims=True))
         Kb = profile(r2, *pvec)                       # (block, npad)
         rows = r0 + jnp.arange(block)
         real = (rows[:, None] < n) & (cols[None, :] < n)

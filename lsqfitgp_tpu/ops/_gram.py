@@ -71,19 +71,29 @@ def _gram_kernel(x_ref, y_ref, xn_ref, yn_ref, p_ref, o_ref, *,
     j = pl.program_id(1)
     xt = x_ref[...]               # (T, p)
     yt = y_ref[...]               # (T, p)
-    # MXU cross term + precomputed squared norms; HIGHEST precision
-    # forces the 6-pass bf16 decomposition (a 3-pass split leaves
-    # ~2^-18 relative error on r², 64x above f32 noise — measured
-    # 7e-5 absolute on unit-scale inputs, outside the library's gram
-    # accuracy contract; the profile evaluation dominates the kernel
-    # anyway for cheap profiles)
-    cross = jax.lax.dot_general(
-        xt, yt.T, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.promote_types(xt.dtype, jnp.float32),
-    )
-    r2 = xn_ref[...] + yn_ref[...].T - 2 * cross   # (T,1) + (1,T)
-    r2 = jnp.maximum(r2, 0.0)
+    if xt.shape[1] == 1:
+        # p = 1 (time series, 1-D regression): the outer difference is
+        # EXACT in f32 — no norm-expansion cancellation, so √r²-mode
+        # profiles (stationary |Δ| kernels) keep full precision near
+        # the diagonal, where the expansion's absolute ~eps·‖x‖² error
+        # would blow up to ~√eps·‖x‖ distance error
+        d = xt - yt.T                                  # (T, T)
+        r2 = d * d
+    else:
+        # MXU cross term + precomputed squared norms; HIGHEST precision
+        # forces the 6-pass bf16 decomposition (a 3-pass split leaves
+        # ~2^-18 relative error on r², 64x above f32 noise — measured
+        # 7e-5 absolute on unit-scale inputs, outside the library's
+        # gram accuracy contract; the profile evaluation dominates the
+        # kernel anyway for cheap profiles)
+        cross = jax.lax.dot_general(
+            xt, yt.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.promote_types(xt.dtype,
+                                                     jnp.float32),
+        )
+        r2 = xn_ref[...] + yn_ref[...].T - 2 * cross   # (T,1) + (1,T)
+        r2 = jnp.maximum(r2, 0.0)
     K = profile(r2, *_read_params(p_ref, nparams))
     if with_noise:
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) \
@@ -153,13 +163,19 @@ def _gram_sym_kernel(ij_ref, x_ref, y_ref, xn_ref, yn_ref, p_ref,
     j = ij_ref[1, k]
     xt = x_ref[...]
     yt = y_ref[...]
-    cross = jax.lax.dot_general(
-        xt, yt.T, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.promote_types(xt.dtype, jnp.float32),
-    )
-    r2 = xn_ref[...] + yn_ref[...].T - 2 * cross
-    r2 = jnp.maximum(r2, 0.0)
+    if xt.shape[1] == 1:
+        # p = 1: exact outer difference (see _gram_kernel)
+        d = xt - yt.T
+        r2 = d * d
+    else:
+        cross = jax.lax.dot_general(
+            xt, yt.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.promote_types(xt.dtype,
+                                                     jnp.float32),
+        )
+        r2 = xn_ref[...] + yn_ref[...].T - 2 * cross
+        r2 = jnp.maximum(r2, 0.0)
     K = profile(r2, *_read_params(p_ref, nparams))
     if with_noise:
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) \
@@ -271,11 +287,17 @@ def _gram_d_jvp(profile, tile, interpret, with_noise, primals, tangents):
     Wr = _gram_raw(_elemgrad_r2(profile, nparams), xp, yp, xn, yn,
                    pvec, with_noise=False, tile=tile,
                    interpret=interpret)
-    dr2 = 2 * (
-        jnp.sum(xp * dx, axis=-1, keepdims=True)
-        + jnp.sum(yp * dy, axis=-1, keepdims=True).T
-        - xp @ dy.T - dx @ yp.T
-    )
+    if xp.shape[1] == 1:
+        # p = 1: exact outer differences, matching the primal kernel's
+        # exact r² (the norm-expansion form would pair a ~1/√r² weight
+        # near the diagonal with an eps·‖x‖²-error dr²)
+        dr2 = 2 * (xp[:, :1] - yp[:, :1].T) * (dx[:, :1] - dy[:, :1].T)
+    else:
+        dr2 = 2 * (
+            jnp.sum(xp * dx, axis=-1, keepdims=True)
+            + jnp.sum(yp * dy, axis=-1, keepdims=True).T
+            - xp @ dy.T - dx @ yp.T
+        )
     dK = Wr * dr2
     for k in range(nparams):
         Wk = _gram_raw(_elemgrad_pk(profile, nparams, k), xp, yp, xn,
@@ -306,8 +328,12 @@ def _gram_sym_d_jvp(profile, tile, interpret, with_noise, primals,
     xn = jnp.sum(xp * xp, axis=-1, keepdims=True)
     Wr = _gram_sym_raw(_elemgrad_r2(profile, nparams), xp, xn, pvec,
                        with_noise=False, tile=tile, interpret=interpret)
-    xdx = jnp.sum(xp * dx, axis=-1, keepdims=True)
-    dr2 = 2 * (xdx + xdx.T - xp @ dx.T - dx @ xp.T)
+    if xp.shape[1] == 1:
+        # p = 1: exact outer differences (see _gram_d_jvp)
+        dr2 = 2 * (xp[:, :1] - xp[:, :1].T) * (dx[:, :1] - dx[:, :1].T)
+    else:
+        xdx = jnp.sum(xp * dx, axis=-1, keepdims=True)
+        dr2 = 2 * (xdx + xdx.T - xp @ dx.T - dx @ xp.T)
     dK = Wr * dr2
     for k in range(nparams):
         Wk = _gram_sym_raw(_elemgrad_pk(profile, nparams, k), xp, xn,

@@ -352,20 +352,27 @@ def _schur_gram_kernel(ijk_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
         # ranges lose r2 entirely (eps * |x|^2 > spacing^2)
         xt = xr_ref[...]
         yt = xc_ref[...]
-        c = 0.5 * (jnp.mean(xt, axis=0, keepdims=True)
-                   + jnp.mean(yt, axis=0, keepdims=True))
-        xt = xt - c
-        yt = yt - c
-        xn = jnp.sum(xt * xt, axis=1, keepdims=True)
-        yn = jnp.sum(yt * yt, axis=1, keepdims=True)
-        cross = lax.dot_general(
-            xt, yt.T, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.promote_types(
-                xt.dtype, jnp.float32),
-        )
-        r2 = xn + yn.T - 2 * cross
-        r2 = jnp.maximum(r2, 0.0)
+        if xt.shape[1] == 1:
+            # p = 1: the outer difference is EXACT in f32 — no
+            # norm-expansion cancellation, so √r²-mode profiles (1-D
+            # stationary kernels) keep full precision near the diagonal
+            d = xt - yt.T
+            r2 = d * d
+        else:
+            c = 0.5 * (jnp.mean(xt, axis=0, keepdims=True)
+                       + jnp.mean(yt, axis=0, keepdims=True))
+            xt = xt - c
+            yt = yt - c
+            xn = jnp.sum(xt * xt, axis=1, keepdims=True)
+            yn = jnp.sum(yt * yt, axis=1, keepdims=True)
+            cross = lax.dot_general(
+                xt, yt.T, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.promote_types(
+                    xt.dtype, jnp.float32),
+            )
+            r2 = xn + yn.T - 2 * cross
+            r2 = jnp.maximum(r2, 0.0)
         t = profile(r2, *(p_ref[k, 0] for k in range(nparams)))
         i = ijk_ref[0, p]
         j = ijk_ref[1, p]
@@ -547,23 +554,28 @@ def _schur_gram_kernel2(ij_ref, xr_ref, xc_ref, xnr_ref, xnc_ref,
 
     @pl.when(k == 0)
     def init():
-        # per-tile-pair centering (see _schur_gram_kernel)
+        # per-tile-pair centering (see _schur_gram_kernel); p = 1 takes
+        # the exact outer difference instead
         xt = xr_ref[...]
         yt = xc_ref[...]
-        c = 0.5 * (jnp.mean(xt, axis=0, keepdims=True)
-                   + jnp.mean(yt, axis=0, keepdims=True))
-        xt = xt - c
-        yt = yt - c
-        xn = jnp.sum(xt * xt, axis=1, keepdims=True)
-        yn = jnp.sum(yt * yt, axis=1, keepdims=True)
-        cross = lax.dot_general(
-            xt, yt.T, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.promote_types(
-                xt.dtype, jnp.float32),
-        )
-        r2 = xn + yn.T - 2 * cross
-        r2 = jnp.maximum(r2, 0.0)
+        if xt.shape[1] == 1:
+            d = xt - yt.T
+            r2 = d * d
+        else:
+            c = 0.5 * (jnp.mean(xt, axis=0, keepdims=True)
+                       + jnp.mean(yt, axis=0, keepdims=True))
+            xt = xt - c
+            yt = yt - c
+            xn = jnp.sum(xt * xt, axis=1, keepdims=True)
+            yn = jnp.sum(yt * yt, axis=1, keepdims=True)
+            cross = lax.dot_general(
+                xt, yt.T, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.promote_types(
+                    xt.dtype, jnp.float32),
+            )
+            r2 = xn + yn.T - 2 * cross
+            r2 = jnp.maximum(r2, 0.0)
         t = profile(r2, *(p_ref[q, 0] for q in range(nparams)))
         i = ij_ref[0, p]
         j = ij_ref[1, p]

@@ -368,3 +368,73 @@ def test_sum_of_isotropic_kernels_streams(model):
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
                                rtol=0.05, atol=0.05 * float(
                                    jnp.max(jnp.abs(gd))))
+
+
+# -- 1-D stationary kernels on the streaming solver (round-4) ------------------
+
+def test_stationary_kernel_streams(model):
+    """Celerite (the classic time-series kernel) through
+    GP(solver='chol-stream'): NLL, gradient, and posterior match the
+    dense solver — 1-D stationary kernels are isotropic in |Δ|, so
+    they ride the same never-materialized-Gram pipeline."""
+    x, xs, y = model
+    noise = 0.05
+
+    def build(solver_kw):
+        k = 1.3 * lgp.Celerite(gamma=0.5, B=0.2, scale=2.0)
+        return lgp.GP(k, **solver_kw).addx(x, 'd').addx(xs, 's')
+
+    gps = build(STREAMKW)
+    gpd = build(dict(epsabs=noise, epsrel=0))
+
+    ml_s = float(gps.marginal_likelihood({'d': y}, givencov=noise))
+    ml_d = float(gpd.marginal_likelihood({'d': y}))
+    np.testing.assert_allclose(ml_s, ml_d, rtol=2e-3)
+
+    post_s = gps.predfromdata({'d': y}, 's', givencov=noise,
+                              keepcorr=False)
+    post_d = gpd.predfromdata({'d': y}, 's', keepcorr=False)
+    np.testing.assert_allclose(np.asarray(post_s.mean),
+                               np.asarray(post_d.mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(post_s.sdev),
+                               np.asarray(post_d.sdev),
+                               rtol=3e-2, atol=1e-3)
+
+
+def test_stationary_kernel_stream_gradient(model):
+    """Exact streaming gradient through a stationary kernel's traced
+    hyperparameter (the √r² chain rule on the profile) matches the
+    dense path."""
+    x, xs, y = model
+    noise = 0.05
+
+    def nll(g, stream):
+        k = 1.3 * lgp.Celerite(gamma=g, B=0.2, scale=2.0)
+        if stream:
+            gp = lgp.GP(k, **STREAMKW).addx(x, 'd')
+            return gp.marginal_likelihood({'d': y}, givencov=noise)
+        gp = lgp.GP(k, epsabs=noise, epsrel=0).addx(x, 'd')
+        return gp.marginal_likelihood({'d': y})
+
+    v_s, g_s = jax.value_and_grad(nll)(jnp.float32(0.6), True)
+    v_d, g_d = jax.value_and_grad(nll)(jnp.float32(0.6), False)
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-3)
+    np.testing.assert_allclose(float(g_s), float(g_d), rtol=0.02,
+                               atol=2e-4 * abs(float(v_d)))
+
+
+def test_periodic_signed_core_streams(model):
+    """A symmetric 'signed'-input kernel (Periodic) streams via the
+    evenness argument: k(x,y) = k(y,x) forces the core even in Δ, so
+    evaluating it at √r² is exact."""
+    x, xs, y = model
+    noise = 0.05
+    k = lgp.Periodic(outerscale=1.2)
+    assert k._fastgram is not None and k._fastgram.mode == 'abs'
+
+    gps = lgp.GP(k, **STREAMKW).addx(x, 'd')
+    gpd = lgp.GP(k, epsabs=noise, epsrel=0).addx(x, 'd')
+    ml_s = float(gps.marginal_likelihood({'d': y}, givencov=noise))
+    ml_d = float(gpd.marginal_likelihood({'d': y}))
+    np.testing.assert_allclose(ml_s, ml_d, rtol=2e-3)

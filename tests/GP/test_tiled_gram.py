@@ -257,3 +257,77 @@ def test_tiled_sum_outer_chain_and_nesting(rng):
     K2 = _prior_cov(k, x, 'broadcast')
     np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
                                              rtol32=1e-4, atol32=2e-5))
+
+
+# -- 1-D stationary kernels on the fast path (round-4) -------------------------
+#
+# In one dimension a stationary kernel of |Δ| is an isotropic kernel of
+# the Euclidean distance, and a SYMMETRIC 'signed' kernel is an even
+# function of Δ (k(x,y) = k(y,x)), so both ride the tiled dispatch.
+# The p = 1 tile path computes the outer difference EXACTLY (no MXU
+# norm-expansion cancellation), so tolerances are tight even for
+# non-smooth |Δ| cores.
+
+STATIONARY = [
+    ('expon', lambda: lgp.Expon(scale=2.0)),
+    ('celerite', lambda: lgp.Celerite(gamma=0.7, B=0.3, scale=1.5)),
+    ('celerite_chain',
+     lambda: 1.7 * lgp.Celerite(gamma=0.7, B=0.3, scale=1.5) + 0.1),
+    ('periodic', lambda: lgp.Periodic(outerscale=0.7)),
+    ('harmonic', lambda: lgp.Harmonic(Q=2.0, scale=3.0)),
+    ('cos', lambda: lgp.Cos(scale=1.3)),
+    ('sinc', lambda: lgp.Sinc(scale=2.0)),
+    ('holeeffect', lambda: lgp.HoleEffect(scale=1.4)),
+    ('pink', lambda: lgp.Pink(dw=1.5)),
+]
+
+
+@pytest.mark.parametrize('name,mk', STATIONARY,
+                         ids=[k[0] for k in STATIONARY])
+def test_tiled_matches_broadcast_stationary_1d(name, mk, rng):
+    x = np.sort(rng.uniform(0.0, 30.0, 300))
+    K1 = _prior_cov(mk(), x, 'tiled')
+    K2 = _prior_cov(mk(), x, 'broadcast')
+    np.testing.assert_allclose(K1, K2, **tol(1e-12, 1e-12,
+                                             rtol32=2e-5, atol32=1e-5))
+
+
+def test_stationary_spec_gates():
+    """Spec-eligibility edges: vector static args (MA/AR) and
+    non-symmetric signed cores stay on the broadcast path; everything
+    attaches with maxdim clamped to 1."""
+    assert lgp.MA(w=[1.0, 0.5, 0.25])._fastgram is None
+    assert lgp.AR(phi=[0.5], maxlag=10)._fastgram is None
+    spec = lgp.Celerite(gamma=1.0, B=0.0)._fastgram
+    assert spec is not None and spec.maxdim == 1 and spec.mode == 'abs'
+    assert lgp.Periodic()._fastgram.mode == 'abs'   # even signed core
+    from lsqfitgp_tpu.kernelalg import CrossStationaryKernel
+    crossk = CrossStationaryKernel(lambda d: jnp.exp(-jnp.abs(d)) * d,
+                                   input='signed')
+    assert crossk._fastgram is None   # cross: evenness not guaranteed
+    # 2-column input exceeds the clamped maxdim -> broadcast fallback,
+    # which raises the kernel's own maxdim guard
+    gp = GP(lgp.Expon(), gram='tiled', checkpos=False)
+    xs = lgp.asarray({'a': np.arange(8.0), 'b': np.arange(8.0)})
+    with pytest.raises(Exception):
+        gp.addx(xs, 'a').prior('a', raw=True)
+
+
+def test_tiled_stationary_gradient_matches_broadcast(rng):
+    """Hyperparameter gradient through the tiled p = 1 Gram (the
+    custom-JVP exact-dr² path) matches the broadcast path."""
+    x = np.sort(rng.uniform(0.0, 20.0, 200)).astype(np.float32)
+    y = np.sin(x) + 0.1 * rng.standard_normal(200).astype(np.float32)
+
+    def nll(g, gram):
+        k = 1.3 * lgp.Celerite(gamma=g, B=0.2, scale=2.0)
+        gp = GP(k, gram=gram, checkpos=False, epsabs=0.05, epsrel=0)
+        gp = gp.addx(x, 'f')
+        return gp.marginal_likelihood({'f': y})
+
+    vt, gt = jax.value_and_grad(lambda g: nll(g, 'tiled'))(
+        jnp.float32(0.5))
+    vb, gb = jax.value_and_grad(lambda g: nll(g, 'broadcast'))(
+        jnp.float32(0.5))
+    np.testing.assert_allclose(float(vt), float(vb), rtol=1e-4)
+    np.testing.assert_allclose(float(gt), float(gb), rtol=1e-3)

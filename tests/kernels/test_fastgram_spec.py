@@ -87,3 +87,43 @@ def test_traced_scales_ride_params():
     profile, params = fg.build_profile(k._fastgram)
     vals = [float(p) for p in params]
     assert 0.7 in vals and 3.0 in vals
+
+
+# -- 1-D stationary specs (round-4) ---------------------------------------------
+
+def test_stationary_specs_attach():
+    """abs/posabs stationary constructors and SYMMETRIC signed ones
+    carry a spec clamped to maxdim=1; cross signed and vector-static
+    kernels do not."""
+    for k in [lgp.Expon(), lgp.Celerite(gamma=0.7, B=0.3), lgp.Pink(),
+              lgp.Sinc(), lgp.HoleEffect(), lgp.Circular(),
+              lgp.Periodic(), lgp.Cos(), lgp.Harmonic(Q=1.5),
+              lgp.Color(n=3)]:
+        spec = k._fastgram
+        assert spec is not None and spec.maxdim == 1, type(k).__name__
+    assert lgp.MA(w=[1.0, 0.5])._fastgram is None
+    assert lgp.AR(phi=[0.5], maxlag=8)._fastgram is None
+
+
+def test_stationary_profile_matches_core():
+    """The spec profile evaluated at r² = Δ² reproduces the kernel."""
+    d = np.linspace(0.0, 6.0, 101)
+    for k in [lgp.Celerite(gamma=0.7, B=0.3), lgp.Periodic(),
+              lgp.Harmonic(Q=2.0), lgp.Expon()]:
+        want = np.asarray(k(np.zeros_like(d), d))
+        got = _profile_value(k, d * d)
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6,
+                                   err_msg=type(k).__name__)
+
+
+def test_stationary_sums_with_isotropic():
+    """Mixed stationary+isotropic sums keep the terms dispatch."""
+    k = 1.2 * lgp.Celerite(gamma=0.5, B=0.1, scale=2.0) \
+        + 0.7 * lgp.ExpQuad(scale=5.0)
+    spec = k._fastgram
+    assert spec is not None and spec.terms is not None \
+        and len(spec.terms) == 2
+    d = np.linspace(0.0, 10.0, 51)
+    want = np.asarray(k(np.zeros_like(d), d))
+    got = _profile_value(k, d * d)
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
