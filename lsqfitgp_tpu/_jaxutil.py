@@ -39,6 +39,7 @@ __all__ = [
     'fasthash64',
     'fasthash32',
     'is_abstract',
+    'concrete_eq',
 ]
 
 
@@ -70,6 +71,18 @@ def elementwise_grad(fun, argnum=0):
 def is_abstract(*values):
     """True if any value is a JAX tracer (abstract, inside a transform)."""
     return any(isinstance(v, jax.core.Tracer) for v in jax.tree.leaves(list(values)))
+
+
+def concrete_eq(a, b):
+    """``a == b`` when both are concrete; ``False`` for tracers.
+
+    For parameter-dependent derivability guards: a TRACED parameter sits
+    at a generic value (an optimizer will move it), so the measure-zero
+    special case that would add derivability cannot be assumed —
+    conservatively not equal."""
+    if is_abstract(a, b):
+        return False
+    return bool(a == b)
 
 
 def skipifabstract(check):

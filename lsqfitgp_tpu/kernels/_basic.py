@@ -191,7 +191,8 @@ def HoleEffect(delta):
 
 
 def _cauchy_derivable(alpha=2, **_):
-    return alpha == 2
+    # tracer-safe: a traced alpha is generic -> not derivable
+    return _jaxutil.concrete_eq(alpha, 2)
 
 
 @isotropickernel(derivable=_cauchy_derivable)

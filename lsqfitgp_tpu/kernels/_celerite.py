@@ -15,11 +15,11 @@ __all__ = ['Celerite', 'Harmonic']
 
 
 def _celerite_derivable(**kw):
+    # derivable only on the measure-zero ridge B == gamma; traced
+    # parameters sit at generic values, so conservatively False
     gamma = kw.get('gamma', 1)
     B = kw.get('B', 0)
-    if jnp.isscalar(gamma) and jnp.isscalar(B) and B == gamma:
-        return 1
-    return False
+    return 1 if _jaxutil.concrete_eq(B, gamma) else False
 
 
 @stationarykernel(derivable=_celerite_derivable, input='abs', maxdim=1)

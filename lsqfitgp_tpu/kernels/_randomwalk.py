@@ -29,7 +29,8 @@ def Wiener(x, y):
 
 
 def _fracbrownian_derivable(H=1 / 2, K=1):
-    return H == 1 and K == 1
+    # tracer-safe: traced H/K sit at generic values -> not derivable
+    return _jaxutil.concrete_eq(H, 1) and _jaxutil.concrete_eq(K, 1)
 
 
 @kernel(derivable=_fracbrownian_derivable, maxdim=1)
@@ -113,7 +114,7 @@ def BrownianBridge(x, y):
 
 
 def _sfb_derivable(H=1 / 2):
-    return H == 1
+    return _jaxutil.concrete_eq(H, 1)
 
 
 @stationarykernel(derivable=_sfb_derivable, input='signed', maxdim=1)

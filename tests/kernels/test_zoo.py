@@ -223,3 +223,44 @@ def test_bagofwords_strings():
     post = gp.predfromdata({'t': [1.0, 0.5, 0.2]}, ['t'])
     np.testing.assert_allclose(
         np.asarray(post['t'].mean), [1.0, 0.5, 0.2], atol=1e-4)
+
+
+def test_traced_parameters_in_derivable_guards():
+    """Kernels whose derivability depends on a parameter EQUALITY
+    (Celerite B == gamma, Cauchy alpha == 2, FracBrownian H == K == 1)
+    must construct under jit with TRACED parameters (regression: the
+    guard's `B == gamma` raised TracerBoolConversionError inside
+    empbayes_fit's jitted objective; traced values conservatively count
+    as not-equal, so no derivability is granted)."""
+    import jax
+    import lsqfitgp_tpu as lgp
+    x = np.linspace(0, 5, 8)
+
+    @jax.jit
+    def celerite_gram(g):
+        return lgp.Celerite(gamma=g, B=0.05)(x[:, None], x[None, :])
+
+    @jax.jit
+    def cauchy_gram(a):
+        return lgp.Cauchy(alpha=a)(x[:, None], x[None, :])
+
+    @jax.jit
+    def fbm_gram(h):
+        xp = x + 0.1
+        return lgp.FracBrownian(H=h)(xp[:, None], xp[None, :])
+
+    for fn, v in [(celerite_gram, 0.7), (cauchy_gram, 1.5),
+                  (fbm_gram, 0.4)]:
+        K = np.asarray(fn(jnp.float32(v)))
+        assert K.shape == (8, 8) and np.all(np.isfinite(K))
+
+    # concrete equality still grants derivability: Celerite with
+    # B == gamma is once-derivable, generic B is not, traced B is
+    # conservatively not
+    from lsqfitgp_tpu.kernels._celerite import _celerite_derivable
+    assert _celerite_derivable(gamma=0.5, B=0.5) == 1
+    assert _celerite_derivable(gamma=0.5, B=0.2) is False
+    assert float(jax.jit(
+        lambda b: jnp.ones(())
+        if _celerite_derivable(gamma=0.5, B=b) else jnp.zeros(())
+    )(jnp.float32(0.5))) == 0.0
