@@ -484,7 +484,11 @@ def main():
                     msg += (f', value+grad '
                             f'{n ** 3 / t / 1e12:.2f} TFLOP/s-equiv')
                 if name.startswith('gram') or name.startswith('gp_gram'):
-                    msg += f', {n * n * 4 / t / 1e9:.0f} GB/s written'
+                    if 'bart' in name:
+                        # transcendental-bound, not bandwidth-bound
+                        msg += f', {n * n / t / 1e6:.1f} Mevals/s'
+                    else:
+                        msg += f', {n * n * 4 / t / 1e9:.0f} GB/s written'
                 _log(msg + f' (setup {time.perf_counter() - t0:.0f}s)')
             except Exception as exc:  # noqa: BLE001 - extras are best-effort
                 _log(f'[bench] {name} n={n} failed: {exc!r}')

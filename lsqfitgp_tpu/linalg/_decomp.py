@@ -1338,6 +1338,12 @@ def _nll_stream_bwd_exact(profile, block, b1, gradblock, precision,
             # strip rows are independent through both skip solves, so
             # a row constraint on E partitions the whole strip chain
             E = shard(E)
+        # serialize strips: tie this strip's workspace to the previous
+        # accumulator so the scheduler reuses one strip's buffers
+        # instead of overlapping all strips' temps against the live
+        # factor tree (at n = 65536 the overlap drove allocator
+        # fragmentation past the HBM margin)
+        gl, E = lax.optimization_barrier((gl, E))
         Zt = _blocked._tree_solve_right_t_skip(
             E, tree, dinvs, block, prec, 0, c0)
         C = _blocked._tree_solve_right_skip(
