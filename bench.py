@@ -451,7 +451,13 @@ def main():
     for name, maker, sizes in (
         ('chol', chol_loop, (4096, 8192, 16384)),
         ('chol_direct', chol_direct, (32768,)),
-        ('stream_vg', stream_vg_direct, (16384, 65536)),
+        # 49152 is the largest single-chip exact-grad size: the strip
+        # pass holds the full factor tree (n²/2) live and the TPU
+        # allocator's static-placement fragmentation roughly doubles
+        # it, so n=65536 (8.7 GB live) needs 16.2 GB > 15.75 GB HBM;
+        # at 65536 exact gradients ride the row-sharded multi-chip
+        # path (parallel.stream_nll_distributed_grad)
+        ('stream_vg', stream_vg_direct, (16384, 49152)),
         ('gram', gram_loop, (4096, 8192, 16384)),
         ('gram_tiled_p8', gram_tiled_loop, (8192,)),
         ('gram_bart_p4', gram_bart_loop, (2048,)),

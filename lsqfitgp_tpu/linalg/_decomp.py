@@ -1417,7 +1417,12 @@ def chol_nll_stream_grad(profile, x, y, *, params=(), lenscale=None,
     rule then returns per-element gradients, each picking up the
     matching diagonal entry of ½(K⁻¹ − ααᵀ)).  This is what
     gradient-based `empbayes_fit` evaluates at sizes whose dense Gram
-    exceeds memory (n = 65536 single chip).
+    exceeds memory.  Single-chip limit (v5e, 16 GB): the exact pass
+    keeps the whole factor tree (n²/2) live through the strip loop and
+    TPU static buffer placement roughly doubles it, so exact tops out
+    near n ≈ 49152; past that use the row-sharded multi-chip rule
+    (``parallel.stream_nll_distributed_grad``) or ``exact=False``
+    (Hutchinson matvecs hold only probe vectors live).
     """
     from ..ops import _gram as _og
 
