@@ -746,10 +746,87 @@ class GP:
             Kxx = Kxx + extracov
         else:
             self._checkpos(Kxx)
+        dfg = self._df_gram_maker(inkeys, extracov)
+        if dfg is not None:
+            decompkw = {**decompkw, 'df_gram': dfg}
         dec = self._make_decomp(Kxx, **decompkw)
         if cacheable:
             self._decomp_cache[cachekey] = dec
         return dec
+
+    def _df_gram_maker(self, inkeys, extracov):
+        """Closure ``() -> (Kh, Kl)`` assembling the data-block Gram in
+        DOUBLE-FLOAT (exact pairwise r² + df transcendentals, see
+        :mod:`lsqfitgp_tpu.linalg._df`), or None when the model is not
+        df-profile-expressible.  Handed to :class:`Chol`, which traces
+        it only inside its conditioning-rescue ``lax.cond`` branch —
+        well-posed models never execute it.  This closes the f32
+        accuracy hole where a cond ≳ 1e6 Gram is made indefinite by
+        the assembly's ~30-ULP transcendental error before any
+        factorization sees it (the reference never has this failure
+        mode: everything is f64, reference
+        ``_linalg/_decomp.py:245-278``)."""
+        if self._solver != 'chol':
+            return None
+        from ..kernelalg import _fastgram as fg
+        from ..linalg import _df
+        if len(inkeys) != 1:
+            return None
+        el = self._elements[inkeys[0]]
+        if not isinstance(el, _Points) or el.deriv:
+            return None
+        proc = self._procs.get(el.proc)
+        if not isinstance(proc, _ProcKernel):
+            return None
+        spec = getattr(proc.kernel, '_fastgram', None)
+        if spec is None or (spec.core is None and spec.terms is None):
+            return None
+        profile_df = fg.build_profile_df(spec)
+        if profile_df is None:
+            return None
+        cols = fg.leaf_columns(el.x)
+        if cols is None:
+            return None
+        p = len(cols)
+        if spec.maxdim is not None and not (
+            isinstance(spec.maxdim, float) and math.isinf(spec.maxdim)
+        ) and p > spec.maxdim:
+            return None
+        if spec.scale is not None and jnp.ndim(spec.scale) != 0:
+            return None  # per-dim scales: gram_df folds a SCALAR only
+        # RAW points: distances are translation-invariant, so loc is
+        # dropped, and the lenscale is folded into r² in df by gram_df
+        # (an f32 point pre-division would jitter the coordinates and
+        # reintroduce the assembly error)
+        X = fg.transform_points(
+            spec._replace(scale=None, loc=None), cols)
+        noise = spec.noise
+        n = X.shape[0]
+
+        def df_gram():
+            Kh, Kl = _df.gram_df(profile_df, X, lenscale=spec.scale)
+            if noise is not None:
+                ii = jnp.arange(n)
+                dh, dl = _df.add(
+                    jnp.diag(Kh), jnp.diag(Kl),
+                    jnp.broadcast_to(jnp.asarray(noise, Kh.dtype), (n,)),
+                    jnp.zeros(n, Kh.dtype))
+                Kh = Kh.at[ii, ii].set(dh)
+                Kl = Kl.at[ii, ii].set(dl)
+            if extracov is not None:
+                # data covariance: f32 values ARE the data (exact)
+                Kh, Kl = _df.add(
+                    Kh, Kl, jnp.asarray(extracov, Kh.dtype),
+                    jnp.zeros_like(Kh))
+            return Kh, Kl
+
+        # closure-convert: under a fit, the spec's post chain / dyn
+        # values / noise are TRACED hyperparameters; the fused-NLL
+        # custom_jvp carries df_gram in its static opts, so the traced
+        # constants must ride as explicit operands or they leak out of
+        # their trace (observed: UnexpectedTracerError under jax.grad)
+        fn, consts = jax.closure_convert(df_gram)
+        return fn, tuple(consts)
 
     def _make_decomp(self, K, **decompkw):
         kw = {**self._solverkw, **decompkw}
@@ -1222,7 +1299,11 @@ class GP:
             K = K + ycov
         else:
             self._checkpos(K)
-        return K, ymean, {**self._solverkw, **decompkw}
+        kw = {**self._solverkw, **decompkw}
+        dfg = self._df_gram_maker(inkeys, ycov)
+        if dfg is not None:
+            kw['df_gram'] = dfg
+        return K, ymean, kw
 
     def _prior_nll(self, given, givencov=None, **decompkw):
         """-log marginal density of the data; the fit objective.

@@ -31,7 +31,8 @@ from jax import numpy as jnp
 
 from .. import _array
 
-__all__ = ['FastGramSpec', 'make_spec', 'leaf_columns', 'build_profile']
+__all__ = ['FastGramSpec', 'make_spec', 'leaf_columns', 'build_profile',
+           'build_profile_df', 'DF_CORES']
 
 
 FastGramSpec = collections.namedtuple(
@@ -365,6 +366,99 @@ def build_profile(spec):
     if spec.terms is not None:
         return _term_profile(spec)
     return _single_profile(spec, with_scale=False)
+
+
+# core function -> double-float evaluator ``fn(th, tl, **kwargs) ->
+# (h, l)`` where (th, tl) is the df distance argument in the core's own
+# mode (squared: r², abs/posabs: r) and kwargs are the core's
+# static+dynamic init arguments.  Registered next to the kernels that
+# support it (kernels/_basic.py); consulted by the conditioning-rescue
+# double-float Gram assembly (linalg._df module docs).
+DF_CORES = {}
+
+
+def _profile_df_single(spec, with_scale):
+    """df evaluator for a single-core spec (or None): the df analog of
+    `_single_profile`, with the scale folded into r² IN DF (an f32
+    point pre-division would jitter the coordinates by ~eps·|x| and
+    reintroduce the assembly error the df path removes)."""
+    from ..linalg import _df
+
+    core = spec.core
+    fn = None
+    if core is not None:
+        fn = DF_CORES.get(core)
+        if fn is None:
+            return None
+    kwargs = dict(spec.static_kw or {})
+    kwargs.update(zip(spec.dyn_names, spec.dyn_values))
+    post = tuple(spec.post)
+    mode = spec.mode
+    scale = spec.scale if with_scale else None
+
+    def profile(r2h, r2l):
+        h, l = r2h, r2l
+        if scale is not None:
+            s = jnp.reshape(jnp.asarray(scale, r2h.dtype), ())
+            s2h, s2l = _df._two_prod(s, s)
+            ih, il = _df.div(jnp.ones_like(s), jnp.zeros_like(s),
+                             s2h, s2l)
+            h, l = _df.mul(h, l, ih, il)
+        if core is None:
+            h = jnp.zeros_like(r2h)
+            l = jnp.zeros_like(r2h)
+        else:
+            if mode in ('abs', 'posabs'):
+                h, l = _df.sqrt_df(h, l)
+            h, l = fn(h, l, **kwargs)
+        for op, v in post:
+            v = jnp.reshape(jnp.asarray(v, r2h.dtype), ())
+            z = jnp.zeros_like(v)
+            h, l = (_df.mul(h, l, v, z) if op == 'mul'
+                    else _df.add(h, l, v, z))
+        return h, l
+
+    return profile
+
+
+def _profile_df_term(spec):
+    from ..linalg import _df
+
+    if spec.terms is None:
+        return _profile_df_single(spec, with_scale=True)
+    subs = [_profile_df_term(t) for t in spec.terms]
+    if any(s is None for s in subs):
+        return None
+    post = tuple(spec.post)
+
+    def profile(r2h, r2l):
+        h = jnp.zeros_like(r2h)
+        l = jnp.zeros_like(r2h)
+        for sub in subs:
+            th, tl = sub(r2h, r2l)
+            h, l = _df.add(h, l, th, tl)
+        for op, v in post:
+            v = jnp.reshape(jnp.asarray(v, r2h.dtype), ())
+            z = jnp.zeros_like(v)
+            h, l = (_df.mul(h, l, v, z) if op == 'mul'
+                    else _df.add(h, l, v, z))
+        return h, l
+
+    return profile
+
+
+def build_profile_df(spec):
+    """Double-float profile evaluator ``profile(r2h, r2l) -> (Kh, Kl)``
+    for the spec (every scalar folded in as a closure constant —
+    traced hyperparameters keep their gradients), or None when some
+    core has no :data:`DF_CORES` entry.  The TOP-LEVEL scale
+    (single-core specs) remains the caller's job via
+    :func:`lsqfitgp_tpu.linalg._df.gram_df`'s ``lenscale`` (in df —
+    never by pre-dividing the points); term scales are folded into r²
+    here, matching :func:`build_profile`'s conventions."""
+    if spec.terms is not None:
+        return _profile_df_term(spec)
+    return _profile_df_single(spec, with_scale=False)
 
 
 def transform_points(spec, cols):

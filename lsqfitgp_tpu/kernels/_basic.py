@@ -57,6 +57,16 @@ def ExpQuad(r2):
     return jnp.exp(-0.5 * r2)
 
 
+def _expquad_df(r2h, r2l):
+    # exp(-r²/2) with the halving exact (power of two) and a df exp —
+    # the double-float Gram evaluator for the conditioning rescue
+    from ..linalg import _df
+    return _df.exp_df(-0.5 * r2h, -0.5 * r2l)
+
+
+_fg.DF_CORES[ExpQuad.__wrapped__] = _expquad_df
+
+
 def _dot(x, y):
     return _util.sum_recurse_fields(lambda x, y: x * y, x, y)
 
@@ -159,6 +169,14 @@ def Expon(delta):
     r"""Exponential kernel: k(Δ) = exp(-|Δ|) (Matérn 1/2 in 1D).
     Reference ``_kernels/_basic.py:255``."""
     return jnp.exp(-delta)
+
+
+def _expon_df(rh, rl):
+    from ..linalg import _df
+    return _df.exp_df(-rh, -rl)
+
+
+_fg.DF_CORES[Expon.__wrapped__] = _expon_df
 
 
 # word separators: whitespace + punctuation.  The hyphen goes LAST in

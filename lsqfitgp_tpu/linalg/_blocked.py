@@ -1101,6 +1101,75 @@ def _chol_rec_tree_gram(X, xn, profile, params, eps, o, kb, block, b1,
     return (P, t11, t22), d1 + d2
 
 
+def _chol_gram_leftlook(X, xn, profile, params, eps, block, b1,
+                        precision, bump, nreal, sb_blocks=16):
+    """LEFT-LOOKING streaming (matrix-free) Cholesky over wide column
+    strips: the memory-lean companion of `_chol_rec_tree_gram` for
+    sizes near the HBM wall.
+
+    The right-looking recursion materializes each level's Schur
+    complement — 4 GB + 1 GB + … of transient square buffers at
+    n = 65536 — and its half-split panels give the TPU allocator a
+    checkerboard of piece sizes (measured: 47% heap fragmentation on
+    an 8.65 GB live set, the difference between the exact streaming
+    gradient compiling at n = 65536 and OOM).  Here strip k instead
+    reads its own virtual-Gram slab (one `_gram_block`, O(n·sb)),
+    subtracts the accumulated updates with one plain MXU dot per
+    PREVIOUS strip (left-looking: no Schur matrix ever exists), and
+    factors its trapezoid with the balanced tree recursion.  Total
+    MACs are the same optimal ~n³/6·2; peak memory is the factor tree
+    + one slab + one update temp, in uniform (n−c, sb) shapes.
+
+    Returns the standard ``(tree, dinvs)`` contract — the tree is
+    right-deep (strip k's node wraps the remaining strips), which
+    every tree consumer (solves, skip solves, logdiag, mv) already
+    handles structurally.
+    """
+    npad = X.shape[0]
+    dtype = X.dtype
+    hetero = jnp.ndim(eps) == 1
+    sb = sb_blocks * block
+
+    def epsdiag(o0, w0):
+        gi = o0 + jnp.arange(w0)
+        e = eps[o0:o0 + w0] if hetero else eps
+        return jnp.diag(jnp.where(gi < nreal, e, 0.0).astype(dtype))
+
+    panels = []      # (P_k, c_k, sb_k): rows c_k+sb_k..npad, cols c_k..
+    subtrees = []
+    subdinvs = []
+    c0 = 0
+    while c0 < npad:
+        w = min(sb, npad - c0)
+        m = npad - c0
+        A = _gram_block_strip(X, profile, params, c0, m, w, nreal)
+        A = A + jnp.pad(epsdiag(c0, w), ((0, m - w), (0, 0)))
+        for Pj, cj, wj in panels:
+            off = c0 - (cj + wj)
+            Rj = Pj[off:off + w]                       # (w, wj)
+            A = A - jnp.dot(Pj[off:], Rj.T, precision=precision)
+        readA = lambda r0, cc, h, ww, A=A, base=c0: \
+            A[r0 - base:r0 - base + h, cc - base:cc - base + ww]
+        t_d, d_d = _chol_rec_tree(readA, c0, w // block, block, b1,
+                                  precision, bump)
+        Pk = _tree_solve_right_t(A[w:], t_d, d_d, block, precision)
+        panels.append((Pk, c0, w))
+        subtrees.append(t_d)
+        subdinvs.extend(d_d)
+        c0 += w
+    tree = subtrees[-1]
+    for k in range(len(subtrees) - 2, -1, -1):
+        tree = (panels[k][0], subtrees[k], tree)
+    return tree, subdinvs
+
+
+def _gram_block_strip(X, profile, params, c0, m, w, nreal):
+    """(m, w) virtual-Gram slab starting at (c0, c0) with the exact
+    identity-pad tail — `_gram_block` with per-pair centering."""
+    return _gram_block(X, None, profile, params, c0, c0, m, w,
+                       nreal=nreal)
+
+
 def _chol_rec_tree_dense_sharded(M, base, o, kb, block, b1, precision,
                                  bump, shard):
     """Recursive tree factorization of a MATERIALIZED (Schur) matrix M

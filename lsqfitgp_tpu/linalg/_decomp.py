@@ -253,9 +253,14 @@ class Chol(Decomposition):
     _BLOCK = 512
 
     def __init__(self, K, *, epsrel='auto', epsabs=0, blocked='auto',
-                 precision=None, block=None, df='auto'):
+                 precision=None, block=None, df='auto', df_gram=None):
         K = jnp.asarray(K)
         n = K.shape[0]
+        if df_gram is not None and not callable(df_gram):
+            # closure-converted form (fn, consts): traced constants
+            # hoisted so the fused-NLL rule can route them as operands
+            _dfg_fn, _dfg_consts = df_gram
+            df_gram = lambda: _dfg_fn(*_dfg_consts)
         epsrel, epsabs, escalate = _parse_eps(epsrel, epsabs, n, K.dtype)
         # double-float rescue eligibility: replaces the biased eps2
         # escalation outcome with an emulated-double-precision refactor
@@ -377,6 +382,8 @@ class Chol(Decomposition):
         self._Ldf_h = None
         self._Ldf_l = None
         self._df_rescued = jnp.asarray(False)
+        self._df_failed = jnp.asarray(False)
+        self._df_gram_used = df_gram is not None
         if df_eligible:
             # two triggers:
             # - escalation fired: the f32 result is biased by eps2;
@@ -391,14 +398,46 @@ class Chol(Decomposition):
             #   cond_est 1.0e5, error 5.7e-5), paying the O(100x) VPU
             #   path for accuracy f32 already delivers.
             rescue = escalated | (self._cond_est > 0.1 / mach)
-            Ks = K * (s[:, None] * s[None, :])  # pow2 scaling: exact
             epsp = jnp.asarray(eps_primary, K.dtype)
-            Lh, Ll = lax.cond(
-                rescue,
-                lambda A: _df.chol_df(A, epsp),
-                lambda A: (jnp.zeros_like(A), jnp.zeros_like(A)),
-                Ks,
-            )
+            ss = s[:, None] * s[None, :]        # pow2 scaling: exact
+            if df_gram is not None:
+                # the df Gram is the TRUE model: regularize at the df
+                # unit roundoff (the analog of the reference's
+                # negligible n·eps64, reference _decomp.py:245), not
+                # the f32-scale eps_primary — at cond ≈ 3e6 the
+                # 4·eps32 anchor biases the NLL by eps·∂NLL/∂eps ≈
+                # 0.08 (measured, n=700), 1000x the df pipeline's own
+                # error.  A model singular even at this eps comes back
+                # NaN → df_failed → the "MODEL itself is singular"
+                # warning.
+                epsp = jnp.asarray(
+                    n * 2.0 ** -49, K.dtype) * lax.stop_gradient(
+                        jnp.max(jnp.diag(K) * s * s))
+                # the caller can assemble the TRUE Gram in double-float
+                # (exact r² + df transcendentals, see _df module docs):
+                # the rescue then starts from the real model instead of
+                # the f32-assembled one, whose ~30-ULP transcendental
+                # error makes cond ≳ 1e6 matrices indefinite before the
+                # factorization sees them.  The assembly is traced
+                # INSIDE the cond branch: the well-posed case never
+                # runs it.
+                def build(_):
+                    Kh, Kl = df_gram()
+                    return _df.chol_df(Kh * ss, epsp, Kl * ss)
+
+                Lh, Ll = lax.cond(
+                    rescue, build,
+                    lambda _: (jnp.zeros_like(K), jnp.zeros_like(K)),
+                    None,
+                )
+            else:
+                Ks = K * ss
+                Lh, Ll = lax.cond(
+                    rescue,
+                    lambda A: _df.chol_df(A, epsp),
+                    lambda A: (jnp.zeros_like(A), jnp.zeros_like(A)),
+                    Ks,
+                )
             self._Ldf_h = Lh
             self._Ldf_l = Ll
             # a matrix indefinite even at eps_primary (only the healed/
@@ -406,6 +445,7 @@ class Chol(Decomposition):
             # factorization: keep the f32 answer then
             df_ok = jnp.all(jnp.isfinite(jnp.diag(Lh)))
             self._df_rescued = rescue & df_ok
+            self._df_failed = rescue & ~df_ok
             self._eps = jnp.where(self._df_rescued, epsp, self._eps)
 
     @property
@@ -468,6 +508,31 @@ class Chol(Decomposition):
                     f'an emulated-double-precision refactorization '
                     f'(accurate, but O(100x) slower per solve).  Add '
                     f'noise or pass epsabs to stay on the fast path.'
+                )
+            elif bool(self._df_failed):
+                # the rescue RAN and the matrix was indefinite even in
+                # emulated double precision — distinguish "the model
+                # itself is singular" (df Gram) from "the f32 assembly
+                # corrupted it before we saw it" (no df Gram)
+                if self._df_gram_used:
+                    why = ('the Gram was assembled in double-float, '
+                           'so the MODEL itself is singular at this '
+                           'eps — the result keeps the f32 fallback '
+                           'regularization')
+                else:
+                    why = ('the f32-assembled Gram carries ~30-ULP '
+                           'transcendental error that can fake '
+                           'indefiniteness at cond ≳ 1e6; a '
+                           'profile-expressible model (plain '
+                           'isotropic kernel + noise) would get a '
+                           'double-float Gram assembly and may still '
+                           'be rescuable')
+                warnings.warn(
+                    f'Chol.{what}: the double-float rescue was '
+                    f'attempted but the factorization found the '
+                    f'matrix indefinite ({why}).  Results use '
+                    f'eps={float(self._eps):.2e}; add noise, raise '
+                    f'epsabs, or use float64.'
                 )
             elif bool(self._escalated):
                 warnings.warn(
@@ -674,21 +739,46 @@ def chol_nll(K, r, **choleskykw):
     Both AD modes work: the rule is linear in (dK, dr), so reverse mode
     transposes it to scaling the stored carrier by the cotangent.
     """
+    dfg = choleskykw.pop('df_gram', None)
     opts = tuple(sorted(choleskykw.items()))
-    return _chol_nll_cjvp(K, jnp.asarray(r), opts)
+    if dfg is None:
+        return _chol_nll_cjvp(K, jnp.asarray(r), (), (None, opts))
+    if callable(dfg):
+        # bare-closure form: must not capture tracers (it rides the
+        # rule's static metadata); the GP layer always hands the
+        # closure-converted (fn, consts) form instead
+        return _chol_nll_cjvp(K, jnp.asarray(r), (), (dfg, opts))
+    fn, consts = dfg
+    return _chol_nll_cjvp(K, jnp.asarray(r), tuple(consts), (fn, opts))
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
-def _chol_nll_cjvp(K, r, opts):
-    dec = Chol(K, **dict(opts))
+def _df_gram_bind(fn, consts):
+    return None if fn is None else (lambda: fn(*consts))
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3,))
+def _chol_nll_cjvp(K, r, dfconsts, meta):
+    fn, opts = meta
+    kw = dict(opts)
+    dfg = _df_gram_bind(fn, dfconsts)
+    if dfg is not None:
+        kw['df_gram'] = dfg
+    dec = Chol(K, **kw)
     return dec.minus_log_normal_density(r)
 
 
 @_chol_nll_cjvp.defjvp
-def _chol_nll_jvp(opts, primals, tangents):
-    K, r = primals
-    dK, dr = tangents
+def _chol_nll_jvp(meta, primals, tangents):
+    K, r, dfconsts = primals
+    # dfconsts tangents are ignored: the df Gram's θ-sensitivity
+    # duplicates dK's (the df rescue is primal-accurate with f32-grade
+    # tangents, same convention as the rescue's Fisher)
+    dK, dr = tangents[0], tangents[1]
+    fn, opts = meta
     kw = dict(opts)
+    dfg = _df_gram_bind(fn, dfconsts)
+    if dfg is not None:
+        kw['df_gram'] = dfg
     dec = Chol(K, **kw)
     s = dec._s
     val = dec.minus_log_normal_density(r)
@@ -1224,9 +1314,10 @@ _nll_stream_core.defvjp(_nll_stream_fwd, _nll_stream_bwd)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _nll_stream_core_exact(pvec, lenscale, eps, X, y, profile, block,
-                           b1, gradblock, precision, shard):
+                           b1, gradblock, precision, shard,
+                           gradgroups=None):
     """Scalar streaming NLL with an EXACT custom VJP: the gradient's
     trace term tr(K⁻¹ dK) is contracted against strips of K⁻¹ computed
     by skip-aware tree solves on the stored factor tree — no
@@ -1234,12 +1325,13 @@ def _nll_stream_core_exact(pvec, lenscale, eps, X, y, profile, block,
     three (gradblock, npad) strips, ~n³/3 extra MACs total)."""
     val, _ = _nll_stream_fwd_exact(pvec, lenscale, eps, X, y, profile,
                                    block, b1, gradblock, precision,
-                                   shard)
+                                   shard, gradgroups)
     return val
 
 
 def _nll_stream_fwd_exact(pvec, lenscale, eps, X, y, profile, block,
-                          b1, gradblock, precision, shard=None):
+                          b1, gradblock, precision, shard=None,
+                          gradgroups=None):
     dtype = X.dtype
     n = X.shape[0]
     npad = -(-n // block) * block
@@ -1255,9 +1347,18 @@ def _nll_stream_fwd_exact(pvec, lenscale, eps, X, y, profile, block,
     prec = _blocked._precision(precision)
     interpret = jax.default_backend() != 'tpu'
     epsk = _pad_eps(eps + 4 * mach * k0, n, npad, dtype)
-    tree, dinvs = _blocked._chol_rec_tree_gram(
-        Xs, xn, profile, params, epsk, 0, npad // block,
-        block, b1, prec, bump, interpret, n, shard)
+    if shard is None and npad > _LEFTLOOK_MIN:
+        # near the HBM wall the right-looking recursion's Schur
+        # buffers + half-split panels drive the TPU allocator to ~47%
+        # heap fragmentation and the exact-gradient program OOMs at
+        # n = 65536 (measured); the left-looking strip factorization
+        # materializes nothing square and keeps piece sizes uniform
+        tree, dinvs = _blocked._chol_gram_leftlook(
+            Xs, xn, profile, params, epsk, block, b1, prec, bump, n)
+    else:
+        tree, dinvs = _blocked._chol_rec_tree_gram(
+            Xs, xn, profile, params, epsk, 0, npad // block,
+            block, b1, prec, bump, interpret, n, shard)
     _stream_warn_if_degraded(
         dinvs, epsk, k0, n, 'chol_nll_stream_grad',
         bump=bump,
@@ -1281,11 +1382,12 @@ def _kstrip_weighted_sum(carrier, Xp, n, c0, profile, mach, pvec,
     """sum(carrier * K(θ)[c0:c0+w, :]) over the row strip of the
     virtual regularized padded matrix, differentiable in
     (pvec, lenscale, eps).  Pad entries are θ-independent constants
-    (masked), so they contribute nothing to the gradient."""
+    (masked), so they contribute nothing to the gradient.  ``c0`` may
+    be a traced strip offset (the strips ride a ``lax.scan``)."""
     wk = carrier.shape[0]
     npad = Xp.shape[0]
     Xs = Xp / lenscale
-    Xr = Xs[c0:c0 + wk]
+    Xr = lax.dynamic_slice(Xs, (c0, 0), (wk, Xs.shape[1]))
     # strip-centered norm expansion (same accuracy rationale as the
     # factorization's per-tile-pair centering); exact diff at p = 1
     r2 = _r2_pairs(Xr, Xs, jnp.mean(Xr, axis=0, keepdims=True))
@@ -1300,24 +1402,47 @@ def _kstrip_weighted_sum(carrier, Xp, n, c0, profile, mach, pvec,
     # carrier[i−c0, i] through the padded-vector gather)
     k0 = profile(jnp.zeros((1, 1), Xp.dtype), *pvec)[0, 0]
     etp = _pad_eps(eps + 4 * mach * k0, n, npad, Xp.dtype)
-    et = etp[c0:c0 + wk][:, None] if jnp.ndim(etp) == 1 else etp
+    et = (lax.dynamic_slice(etp, (c0,), (wk,))[:, None]
+          if jnp.ndim(etp) == 1 else etp)
     ondiag = (rows[:, None] == cols[None, :]) & (rows[:, None] < n)
     Kb = jnp.where(ondiag, Kb + et, Kb)
     return jnp.sum(carrier * Kb)
 
 
+# static skip-boundary groups in the scanned exact backward: strips
+# within a group ride ONE lax.scan (a single reused strip workspace,
+# program size independent of n) and share the group START column as
+# the tree solves' static skip bound.  Total solve MACs are
+# n³·(1/3 + 1/(2G)) vs the perfect per-strip skip's n³/3 — +19% at
+# G = 8 — but the per-strip-unrolled program it replaces overlapped
+# every strip's workspace against the live factor tree (measured:
+# compile-time OOM at n = 65536 even with an optimization_barrier
+# serialization band-aid, and compile time growing with n/gradblock).
+_EXACT_GRAD_GROUPS = 8
+
+# above this padded size the exact-gradient forward switches from the
+# right-looking recursive factorization to the left-looking strip
+# scheme (`_blocked._chol_gram_leftlook`): same MACs and tree
+# contract, no materialized Schur complements, allocator-friendly
+# uniform buffer shapes (see that function's docstring)
+_LEFTLOOK_MIN = 49152
+
+
 def _nll_stream_bwd_exact(profile, block, b1, gradblock, precision,
-                          shard, res, ct):
+                          shard, gradgroups, res, ct):
     """Exact reverse rule: dV = <½(K⁻¹ − ααᵀ), dK> + αᵀ dy with the
     K⁻¹ contraction streamed over row strips.  For each strip
     [c0, c0+w): two skip-aware tree solves give C = K⁻¹[c0:c0+w, :]
-    valid on columns ≥ c0; symmetry recovers the skipped columns via
-    the weight mask (1 on the strip's own diagonal block, 2 beyond it,
-    0 below), so the full contraction is exact while only the upper
-    block triangle of K⁻¹ is ever computed (~n³/3 MACs for the solves,
+    valid on columns ≥ the strip's GROUP start; symmetry recovers the
+    skipped columns via the weight mask (1 on the strip's own diagonal
+    block, 2 beyond it, 0 below), so the full contraction is exact
+    while only ~the upper block triangle of K⁻¹ is ever computed
+    (n³·(1/3 + 1/16) MACs for the solves at the default 8 groups),
     matching the reference's exact-gradient contract at sizes where
-    the dense carrier cannot exist: reference
-    ``_linalg/_decomp.py:441-586``)."""
+    the dense carrier cannot exist (reference
+    ``_linalg/_decomp.py:441-586``).  The strips within a group are
+    scan-carried: one strip workspace alive at a time, so peak memory
+    is the factor tree + a single strip chain at every n."""
     pvec, lenscale, eps, Xp, y, alpha, tree, dinvs = res
     n = y.shape[0]
     npad = Xp.shape[0]
@@ -1326,43 +1451,62 @@ def _nll_stream_bwd_exact(profile, block, b1, gradblock, precision,
     prec = _blocked._precision(precision)
     cols = jnp.arange(npad)
 
-    gp = tuple(jnp.zeros((), dtype) for _ in pvec)
-    gl = jnp.zeros((), dtype)
-    ge = jnp.zeros(jnp.shape(eps), dtype)
-    c0 = 0
-    while c0 < npad:
-        wk = min(gradblock, npad - c0)
-        E = jnp.zeros((wk, npad), dtype) \
-            .at[:, c0:c0 + wk].set(jnp.eye(wk, dtype=dtype))
+    wk = min(int(gradblock), npad)
+    S = npad // wk
+    leftover = npad - S * wk            # multiple of block, < wk
+
+    def strip_grads(c0, w, cskip):
+        """(d/dθ) of the strip's weighted contraction; ``c0`` may be
+        traced (scan offset), ``w``/``cskip`` are static."""
+        E = jnp.zeros((w, npad), dtype)
+        E = lax.dynamic_update_slice(E, jnp.eye(w, dtype=dtype),
+                                     (0, c0))
         if shard is not None:
             # strip rows are independent through both skip solves, so
             # a row constraint on E partitions the whole strip chain
             E = shard(E)
-        # serialize strips: tie this strip's workspace to the previous
-        # accumulator so the scheduler reuses one strip's buffers
-        # instead of overlapping all strips' temps against the live
-        # factor tree (at n = 65536 the overlap drove allocator
-        # fragmentation past the HBM margin)
-        gl, E = lax.optimization_barrier((gl, E))
         Zt = _blocked._tree_solve_right_t_skip(
-            E, tree, dinvs, block, prec, 0, c0)
+            E, tree, dinvs, block, prec, 0, cskip)
         C = _blocked._tree_solve_right_skip(
-            Zt, tree, dinvs, block, prec, 0, c0)
-        a_r = lax.dynamic_slice(alpha, (c0,), (wk,))
+            Zt, tree, dinvs, block, prec, 0, cskip)
+        a_r = lax.dynamic_slice(alpha, (c0,), (w,))
         carrier = 0.5 * (C - a_r[:, None] * alpha[None, :])
         weight = jnp.where(cols < c0, 0.0,
-                           jnp.where(cols < c0 + wk, 1.0, 2.0))
+                           jnp.where(cols < c0 + w, 1.0, 2.0))
         carrier = carrier * weight[None, :].astype(dtype)
-
-        g_p, g_l, g_e = jax.grad(
+        return jax.grad(
             lambda pv, ls, ep: _kstrip_weighted_sum(
                 carrier, Xp, n, c0, profile, mach, pv, ls, ep),
             argnums=(0, 1, 2),
         )(pvec, lenscale, eps)
+
+    gp = tuple(jnp.zeros((), dtype) for _ in pvec)
+    gl = jnp.zeros((), dtype)
+    ge = jnp.zeros(jnp.shape(eps), dtype)
+
+    G = (min(_EXACT_GRAD_GROUPS, S) if gradgroups is None
+         else min(int(gradgroups), S)) if S else 0
+    for g in range(G):
+        s0 = (g * S) // G
+        s1 = ((g + 1) * S) // G
+        if s1 == s0:
+            continue
+        cskip = s0 * wk                 # static per-group skip bound
+
+        def step(carry, s, cskip=cskip):
+            cgp, cgl, cge = carry
+            g_p, g_l, g_e = strip_grads(s * wk, wk, cskip)
+            return (tuple(a + b for a, b in zip(cgp, g_p)),
+                    cgl + g_l, cge + g_e), None
+
+        (gp, gl, ge), _ = lax.scan(step, (gp, gl, ge),
+                                   jnp.arange(s0, s1))
+
+    if leftover:
+        g_p, g_l, g_e = strip_grads(S * wk, leftover, S * wk)
         gp = tuple(a + b for a, b in zip(gp, g_p))
         gl = gl + g_l
         ge = ge + g_e
-        c0 += wk
 
     ga = ct * alpha[:n]
     return (jax.tree_util.tree_map(lambda g: ct * g, gp),
@@ -1376,7 +1520,7 @@ _nll_stream_core_exact.defvjp(_nll_stream_fwd_exact,
 def chol_nll_stream_grad(profile, x, y, *, params=(), lenscale=None,
                          epsabs=1e-4, exact=True, nprobes=16, seed=0,
                          block=512, b1=128, gradblock=None,
-                         precision='high'):
+                         precision='high', gradgroups=None):
     """Differentiable streaming NLL: same never-materialized-Gram value
     as :func:`chol_nll_stream`, plus a custom VJP.
 
@@ -1437,7 +1581,8 @@ def chol_nll_stream_grad(profile, x, y, *, params=(), lenscale=None,
             gradblock = 4 * int(block)
         return _nll_stream_core_exact(pvec, ls, ep, X, y, profile,
                                       int(block), int(b1),
-                                      int(gradblock), precision, None)
+                                      int(gradblock), precision, None,
+                                      gradgroups)
     return _nll_stream_core(pvec, ls, ep, X, y, profile, int(nprobes),
                             int(seed), int(block), int(b1), precision)
 

@@ -33,28 +33,36 @@ Everything is straight-line traceable (static shapes, ``fori_loop``),
 so the rescue compiles into the same jitted program as the fast path
 and adds nothing to the well-posed case's runtime.
 
-**Scope/limit:** the rescue factors the matrix *as computed*.  A Gram
-assembled in-graph by the TPU's f32 transcendentals carries ~30-ULP
-elementwise error (measured 3.5e-6 absolute for ``exp``), which makes
-models with cond ≳ 1e6 indefinite before the factorization sees them
-(measured λmin = −9e-5 on an n=1024 smooth-kernel model whose true
-λmin is +1e-4).  ``chol_df`` then returns NaN pivots, the caller keeps
-the f32 ladder answer, and the degradation warning fires — honest but
-not rescued.  Roadmap: assemble the Gram itself in double-float for
-profile-expressible kernels (exact pairwise r² from f32 inputs via
-error-free transforms + a df ``exp``), handing ``chol_df`` a
-``(Kh, Kl)`` pair so the rescue starts from the true model.
+**Double-float Gram assembly.**  The rescue factors the matrix *as
+given*.  A Gram assembled in-graph by the TPU's f32 transcendentals
+carries ~30-ULP elementwise error (measured 3.5e-6 absolute for
+``exp``), which makes models with cond ≳ 1e6 indefinite before the
+factorization sees them (measured λmin = −9e-5 on an n=1024
+smooth-kernel model whose true λmin is +1e-4).  For
+profile-expressible kernels the Gram itself is therefore assembled in
+double-float: exact pairwise r² from the f32 inputs via error-free
+transforms (:func:`r2_pairs_df` — the coordinate differences and
+squares are EXACT, distances being translation-invariant so no
+loc/scale pre-rounding of the points is allowed), a ~1e-13-accurate
+df ``exp`` (:func:`exp_df`, Cody-Waite reduction + degree-13 df
+Horner), and df post-chains (:func:`gram profiles registered in
+kernelalg._fastgram.DF_CORES`), handing ``chol_df`` a ``(Kh, Kl)``
+pair so the rescue starts from the TRUE model instead of the
+f32-corrupted one.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy
 import jax
 from jax import lax
 import jax.numpy as jnp
 
 __all__ = [
     'chol_df', 'solve_lower_df', 'solve_lower_t_df', 'logdet_df',
-    'DF_MAX',
+    'exp_df', 'r2_pairs_df', 'gram_df', 'DF_MAX',
 ]
 
 # size cap for the automatic rescue (O(n³) VPU work ≈ seconds at 4096)
@@ -63,25 +71,76 @@ DF_MAX = 4096
 _SPLIT = 4097.0  # 2^12 + 1: Dekker split constant for the 24-bit f32 mantissa
 
 
+# The error-free transforms rely on EXACT IEEE rounding of specific
+# intermediate expressions.  Compilers may rewrite them: measured on
+# XLA:CPU under jit, the composed df pipeline loses to 5.9e-8 relative
+# (plain f32) where eager op-by-op execution is exact — the optimized
+# HLO keeps the arithmetic intact, so the corruption happens in the
+# LLVM backend (FMA contraction of patterns like 4097·a − a and
+# a·b + c, which breaks the Veltkamp split and the pair
+# normalization); `--xla_backend_optimization_level=0` restores
+# exactness, `optimization_barrier` does NOT (XLA:CPU deletes the
+# barriers before the backend).  The barriers below still guard the
+# HLO-level algebraic simplifier; :func:`eft_jit_exact` probes at
+# runtime whether the ACTIVE backend preserves EFT semantics under
+# jit, and the Chol rescue warning reports honestly when it does not.
+def _opaque(x):
+    return lax.optimization_barrier(x)
+
+
+_EFT_PROBE_CACHE = {}
+
+
+def eft_jit_exact():
+    """True when the active backend preserves error-free-transform
+    semantics under jit (probed once per backend with a composed
+    two_sum→mul pair on cancellation-heavy inputs vs the exact f64
+    result).  Eager execution is exact on every backend; under jit,
+    XLA:CPU's LLVM backend contracts FMAs and degrades the pair to
+    plain-f32 accuracy (measured 5.9e-8; see module comment)."""
+    backend = jax.default_backend()
+    hit = _EFT_PROBE_CACHE.get(backend)
+    if hit is not None:
+        return hit
+    a = jnp.asarray(
+        numpy.linspace(0.1, 37.2, 64, dtype=numpy.float32))
+    b = jnp.asarray(
+        numpy.linspace(0.100001, 31.6, 64, dtype=numpy.float32))
+
+    def pair_sq(a, b):
+        dh, dl = _two_sum(a, -b)
+        return mul(dh, dl, dh, dl)
+
+    sh, sl = jax.jit(pair_sq)(a, b)
+    got = numpy.asarray(sh, numpy.float64) \
+        + numpy.asarray(sl, numpy.float64)
+    want = (numpy.asarray(a, numpy.float64)
+            - numpy.asarray(b, numpy.float64)) ** 2
+    ok = bool(numpy.max(numpy.abs(got - want)
+                        / numpy.maximum(want, 1e-30)) < 1e-12)
+    _EFT_PROBE_CACHE[backend] = ok
+    return ok
+
+
 def _two_sum(a, b):
     """Exact a + b = s + err (Knuth; no magnitude assumption)."""
-    s = a + b
-    bb = s - a
+    s = _opaque(a + b)
+    bb = _opaque(s - a)
     err = (a - (s - bb)) + (b - bb)
     return s, err
 
 
 def _fast_two_sum(a, b):
     """Exact a + b = s + err, assuming |a| >= |b| (or a == 0)."""
-    s = a + b
-    err = b - (s - a)
+    s = _opaque(a + b)
+    err = b - _opaque(s - a)
     return s, err
 
 
 def _split(a):
     """Dekker split: a = hi + lo with both mantissas <= 12 bits."""
-    c = _SPLIT * a
-    hi = c - (c - a)
+    c = _opaque(_SPLIT * a)
+    hi = _opaque(c - (c - a))
     return hi, a - hi
 
 
@@ -156,14 +215,18 @@ def _reduce_df_last(ph, pl):
 
 
 @jax.custom_jvp
-def chol_df(Ks, eps):
-    """Double-float Cholesky of ``Ks + eps I``.
+def chol_df(Ks, eps, Kl=None):
+    """Double-float Cholesky of ``Ks [+ Kl] + eps I``.
 
     ``Ks``: (n, n) symmetric float32, treated as exact (the input's own
     representation is the data — same convention as float64 libraries
-    reading a float32 array).  ``eps``: scalar diagonal regularization
-    added in double-float.  Returns ``(Lh, Ll)`` — the lower factor as
-    a double-float pair; ``Lh`` alone is the correctly-rounded float32
+    reading a float32 array).  ``Kl``: optional low-order part making
+    ``(Ks, Kl)`` a df pair — pass the output of :func:`gram_df` so the
+    factorization starts from the TRUE model Gram instead of the
+    f32-rounded one (the difference decides definiteness at
+    cond ≳ 1e6).  ``eps``: scalar diagonal regularization added in
+    double-float.  Returns ``(Lh, Ll)`` — the lower factor as a
+    double-float pair; ``Lh`` alone is the correctly-rounded float32
     factor.
 
     Right-looking blocked formulation: each of the n/b outer steps
@@ -180,7 +243,7 @@ def chol_df(Ks, eps):
     n = Ks.shape[0]
     b = _DF_BLOCK
     if n <= b:
-        return _chol_df_rank1(Ks, eps)
+        return _chol_df_rank1(Ks, eps, Kl)
     npad = -(-n // b) * b
     idx = jnp.arange(npad)
     eps = jnp.asarray(eps, Ks.dtype)
@@ -189,10 +252,14 @@ def chol_df(Ks, eps):
         # never touch the real block (off-diagonal pad entries are 0)
         Ks = jnp.pad(Ks, ((0, npad - n), (0, npad - n)))
         Ks = Ks.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
-    dh, dl = _two_sum(jnp.diag(Ks),
-                      jnp.where(idx < n, eps, jnp.float32(0)))
+        if Kl is not None:
+            Kl = jnp.pad(Kl, ((0, npad - n), (0, npad - n)))
+    Klo = jnp.zeros_like(Ks) if Kl is None else Kl
+    dh, dl = add(jnp.diag(Ks), jnp.diag(Klo),
+                 jnp.where(idx < n, eps, jnp.float32(0)),
+                 jnp.zeros(npad, Ks.dtype))
     Ah = Ks.at[idx, idx].set(dh)
-    Al = jnp.zeros_like(Ks).at[idx, idx].set(dl)
+    Al = Klo.at[idx, idx].set(dl)
 
     cb = _DF_CHUNK
 
@@ -254,14 +321,16 @@ def chol_df(Ks, eps):
     return jnp.tril(Ah)[:n, :n], jnp.tril(Al)[:n, :n]
 
 
-def _chol_df_rank1(Ks, eps):
+def _chol_df_rank1(Ks, eps, Kl=None):
     """Textbook left-looking rank-1 df Cholesky (small-n path)."""
     n = Ks.shape[0]
     idx = jnp.arange(n)
     eps = jnp.asarray(eps, Ks.dtype)
-    dh, dl = _two_sum(jnp.diag(Ks), jnp.broadcast_to(eps, (n,)))
+    Klo = jnp.zeros_like(Ks) if Kl is None else Kl
+    dh, dl = add(jnp.diag(Ks), jnp.diag(Klo),
+                 jnp.broadcast_to(eps, (n,)), jnp.zeros(n, Ks.dtype))
     Ah = Ks.at[idx, idx].set(dh)
-    Al = jnp.zeros_like(Ks).at[idx, idx].set(dl)
+    Al = Klo.at[idx, idx].set(dl)
 
     def body(j, c):
         Ah, Al = c
@@ -301,12 +370,15 @@ def _chol_df_jvp(primals, tangents):
     in ``(dKs, deps)`` through linear scans, so JAX can transpose it
     for reverse mode.
     """
-    Ks, eps = primals
-    dKs, deps = tangents
-    Lh, Ll = chol_df(Ks, eps)
+    Ks, eps, Kl = (primals if len(primals) == 3
+                   else (*primals, None))
+    dKs, deps, dKl = (tangents if len(tangents) == 3
+                      else (*tangents, None))
+    Lh, Ll = chol_df(Ks, eps, Kl)
     n = Ks.shape[0]
     idx = jnp.arange(n)
-    dA = dKs.at[idx, idx].add(jnp.broadcast_to(deps, (n,)))
+    dA = dKs if dKl is None else dKs + dKl
+    dA = dA.at[idx, idx].add(jnp.broadcast_to(deps, (n,)))
     Wh, Wl = solve_lower_df(Lh, Ll, dA)                  # L⁻¹ dA
     Ah, Al = solve_lower_df(Lh, Ll, Wh.T, Wl.T)          # (L⁻¹ dA L⁻ᵀ)ᵀ
     # dA is symmetric in every caller, so the transpose equals the
@@ -432,6 +504,117 @@ def dfsum(xh, xl):
     hi and lo parts (error ~log(n) ulps — sufficient for scalar
     likelihood terms; see logdet_df note)."""
     return jnp.sum(xh) + jnp.sum(xl)
+
+
+# ---------------------------------------------------------------------------
+# double-float Gram assembly (exact r², df transcendentals)
+
+def _df_const(v):
+    """A float64 constant as an (hi, lo) f32 pair."""
+    hi = numpy.float32(v)
+    lo = numpy.float32(numpy.float64(v) - numpy.float64(hi))
+    return float(hi), float(lo)
+
+
+# Cody-Waite splitting of ln2: _LN2_A has only 12 significant mantissa
+# bits, so k * _LN2_A is EXACT in f32 for |k| <= 2^12; the residual
+# rides df arithmetic (error ~|k| * 2^-48 * |rest| — negligible)
+_LN2_A = float(numpy.float32(
+    numpy.trunc(numpy.log(2.0) * 2.0 ** 12) / 2.0 ** 12))
+_LN2_B_H, _LN2_B_L = _df_const(math.log(2.0) - _LN2_A)
+_INVLN2 = float(numpy.float32(1.0 / math.log(2.0)))
+
+# 1/k! as df pairs, k = 13..0 (Horner order).  Degree 13 puts the
+# Taylor truncation at |r| <= ln2/2 below 2e-16 — under the df unit
+# roundoff 2^-49
+_EXP_COEF = [_df_const(1.0 / math.factorial(k)) for k in range(13, -1, -1)]
+
+# exp underflow guard: exp(-88) ~ 6e-39 is at the f32 subnormal edge
+# (TPU flushes subnormals); clamping the argument also keeps the
+# range-reduction integer k small enough that k * _LN2_A stays exact
+_EXP_MIN = -88.0
+_EXP_MAX = 88.0
+
+
+def exp_df(xh, xl=None):
+    """Double-float ``exp``: ~1e-15 relative error (vs the TPU f32
+    transcendental's measured ~30 ULP ≈ 3.5e-6 — the error that makes
+    high-cond Grams indefinite before the factorization sees them).
+
+    Cody-Waite range reduction ``x = k·ln2 + r`` (exact 12-bit leading
+    product, df residual), degree-13 df Horner for ``exp(r)`` on
+    ``|r| ≤ ln2/2``, exact ``ldexp`` scaling.  Arguments clamped to
+    ±88 (the f32 exp range; the clamp changes only results that
+    underflow/overflow anyway).  Returns a df pair.
+    """
+    if xl is None:
+        xl = jnp.zeros_like(xh)
+    xh = jnp.clip(xh, _EXP_MIN, _EXP_MAX)
+    k = jnp.round(xh * _INVLN2)
+    # r = x - k*ln2: leading product exact, residual in df
+    r0h, r0l = _two_sum(xh, -k * _LN2_A)
+    r0l = r0l + xl
+    bh, bl = mul(k, jnp.zeros_like(k), _LN2_B_H, _LN2_B_L)
+    rh, rl = add(r0h, r0l, -bh, -bl)
+    ph = jnp.full_like(rh, _EXP_COEF[0][0])
+    pl = jnp.full_like(rh, _EXP_COEF[0][1])
+    for ch, cl in _EXP_COEF[1:]:
+        ph, pl = mul(ph, pl, rh, rl)
+        ph, pl = add(ph, pl, jnp.full_like(rh, ch), jnp.full_like(rh, cl))
+    ki = k.astype(jnp.int32)
+    return jnp.ldexp(ph, ki), jnp.ldexp(pl, ki)
+
+
+def sqrt_df(xh, xl=None):
+    """Double-float sqrt of an elementwise df array (clamped at the
+    f32 tiny like the f32 fast path's ``abs`` mode, so r = 0 diagonals
+    stay finite)."""
+    if xl is None:
+        xl = jnp.zeros_like(xh)
+    tiny = jnp.float32(numpy.finfo(numpy.float32).tiny)
+    xh = jnp.maximum(xh, tiny)
+    return dfsqrt(xh, xl)
+
+
+def r2_pairs_df(X, Y=None):
+    """EXACT pairwise squared distances of f32 points as a df pair.
+
+    ``X``: (n, p) float32 (RAW coordinates: distances are
+    translation-invariant, so no loc centering — and no f32 lenscale
+    pre-division, which would jitter the points by ~eps·|x| and
+    reintroduce exactly the assembly error this module removes; fold
+    the lenscale into r² in df via :func:`gram_df` instead).  Each
+    coordinate difference is an exact ``two_sum``, each square an
+    exact ``two_prod``, the dimension sum a df accumulation — the
+    result is the correctly-rounded-df r², error ~2^-49 relative.
+    """
+    Y = X if Y is None else Y
+    ah = al = None
+    for d in range(X.shape[1]):
+        dh, dl = _two_sum(X[:, d][:, None], -Y[:, d][None, :])
+        sh, sl = mul(dh, dl, dh, dl)
+        if ah is None:
+            ah, al = sh, sl
+        else:
+            ah, al = add(ah, al, sh, sl)
+    return ah, al
+
+
+def gram_df(profile_df, X, params=(), lenscale=None, Y=None):
+    """Assemble a covariance block in DOUBLE-FLOAT: exact pairwise r²
+    (optionally divided by ``lenscale²`` in df), pushed through a df
+    profile evaluator ``profile_df(r2h, r2l, *params) -> (Kh, Kl)``
+    (see ``kernelalg._fastgram.build_profile_df``).  Returns the
+    ``(Kh, Kl)`` pair that :func:`chol_df` factors — the TRUE model
+    Gram, immune to the f32 transcendental assembly error.
+    """
+    r2h, r2l = r2_pairs_df(X, Y)
+    if lenscale is not None:
+        ls = jnp.asarray(lenscale, r2h.dtype)
+        s2h, s2l = _two_prod(ls, ls)
+        ih, il = div(jnp.ones_like(ls), jnp.zeros_like(ls), s2h, s2l)
+        r2h, r2l = mul(r2h, r2l, ih, il)
+    return profile_df(r2h, r2l, *params)
 
 
 def sum_df(xh, xl):

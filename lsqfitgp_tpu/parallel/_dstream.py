@@ -67,4 +67,4 @@ def stream_nll_distributed_grad(profile, x, y, *, params=(),
     shard = _row_shard(mesh, axis)
     return _decomp._nll_stream_core_exact(
         pvec, ls, ep, X, y, profile, int(block), int(b1),
-        int(gradblock), precision, shard)
+        int(gradblock), precision, shard, None)
