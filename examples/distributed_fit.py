@@ -65,6 +65,28 @@ def main():
           f'{float(mean.max()):.2f}], min var {float(var.min()):.4f}')
     assert float(var.min()) > -1e-9
 
+    # the same fit through the PUBLIC streaming surface — no custom
+    # objective: GP(solver='chol-stream', mesh=...) row-shards the
+    # never-materialized-Gram factorization and its exact gradient
+    # across the mesh, and empbayes_fit drives it like any other GP
+    # (covariance from the sharded streamed Fisher)
+    def gpfactory(hp):
+        return (lgp.GP(hp['amp'] * lgp.ExpQuad(scale=1.5),
+                       solver='chol-stream', mesh=mesh, block=64,
+                       checkpos=False)
+                .addx(x, 'd'))
+
+    sfit = lgp.empbayes_fit({'log(amp)': (0.0, 1.0)}, gpfactory,
+                            ({'d': y}, 0.01), covariance='fisher',
+                            raises=False)
+    print(f"streaming-fit amp: {sfit.p['amp'].mean:.3f} "
+          f"+- {sfit.p['amp'].sdev:.3f}")
+    post = gpfactory({'amp': float(sfit.p['amp'].mean)}) \
+        .addx(xs, 's').predfromdata({'d': y}, 's', 0.01)
+    print(f'streaming posterior mean range: '
+          f'[{float(np.min(post.mean)):.2f}, '
+          f'{float(np.max(post.mean)):.2f}]')
+
 
 if __name__ == '__main__':
     main()

@@ -886,7 +886,7 @@ class empbayes_fit:
         F = chol_stream_fisher(
             profile0, X0, params=diff0[0], lenscale=diff0[1],
             epsabs=diff0[2], tangents=tangents, dr=dr,
-            **gp0._stream_kw())
+            shard=gp0._stream_shard(), **gp0._stream_kw())
         F_full = jnp.eye(nparam, dtype=F.dtype)
         if free.size:
             fi = jnp.asarray(free)

@@ -869,6 +869,22 @@ class GP:
             out['precision'] = kw['precision']
         return out
 
+    def _stream_shard(self):
+        """Row-sharding-constraint callable from the solver kwargs
+        (``GP(solver='chol-stream', mesh=..., mesh_axis=...)``), or
+        None single-chip.  With a mesh, the streaming factor tree
+        lives row-sharded across the devices (n²/2/D floats each) and
+        the Gram strips are evaluated where their rows live — the
+        same model/API, scaled past one chip's HBM (SURVEY §2.8
+        tensor-parallel plan; no reference analog, the reference is
+        single-host)."""
+        mesh = self._solverkw.get('mesh')
+        if mesh is None:
+            return None
+        from ..parallel._dstream import _row_shard
+        axis = self._solverkw.get('mesh_axis', mesh.axis_names[0])
+        return _row_shard(mesh, axis)
+
     def _stream_model(self, inkeys, givencov):
         """Reduce the model to (profile, params, X, lenscale,
         noise_kernel, noise_total) for the streaming pipeline, or raise
@@ -974,6 +990,19 @@ class GP:
             _jaxutil.skipifabstract(check)
         kw = self._stream_kw()
         kw['gradblock'] = self._solverkw.get('gradblock')
+        mesh = self._solverkw.get('mesh')
+        if mesh is not None:
+            # mesh-distributed streaming through the SAME surface: the
+            # row-sharded factorization + exact strip-sharded gradient
+            from ..parallel import stream_nll_distributed_grad
+            return stream_nll_distributed_grad(
+                profile, X, y, params=params, lenscale=lenscale,
+                epsabs=0.0 if noise is None else noise, mesh=mesh,
+                axis=self._solverkw.get('mesh_axis',
+                                        mesh.axis_names[0]),
+                block=kw['block'], b1=kw['b1'],
+                gradblock=kw['gradblock'],
+                precision=kw.get('precision', 'high'))
         return chol_nll_stream_grad(
             profile, X, y, params=params, lenscale=lenscale,
             epsabs=0.0 if noise is None else noise, exact=True, **kw)
@@ -1032,7 +1061,7 @@ class GP:
         mean, cov = chol_pred_stream(
             profile, X, y, Xs, params=params,
             epsabs=0.0 if noise is None else noise, return_cov=True,
-            **kw)
+            shard=self._stream_shard(), **kw)
         if noise_kernel is not None:
             # the process kernel's White component contributes to the
             # OUTPUT prior variance too (same semantics as the dense

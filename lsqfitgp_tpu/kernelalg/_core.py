@@ -54,18 +54,30 @@ CrossIsotropicKernel = None
 
 @functools.lru_cache(maxsize=None)
 def least_common_superclass(*classes):
-    """Least common superclass searched along MROs, honoring virtual
-    subclassing via issubclass (reference ``_crosskernel.py:38``)."""
-    mros = [c.__mro__ for c in classes]
-    indices = [0] * len(mros)
-    for i, mroi in enumerate(mros):
-        for j in range(len(mros)):
-            if i == j:
-                continue
-            while not issubclass(mroi[0], mros[j][indices[j]]):
-                indices[j] += 1
-    best = int(numpy.argmin(indices))
-    return mros[best][indices[best]]
+    """Most specific class that every argument is a subclass of
+    (same semantic contract as reference ``_crosskernel.py:38``).
+
+    Candidates are drawn from the arguments' own MROs, and
+    ``issubclass`` (rather than MRO membership) decides acceptance so
+    ABC virtual registrations count.  Among acceptable candidates the
+    one with the deepest position in its owner's MRO wins — for the
+    single-inheritance kernel lattice this is exactly the nearest
+    common ancestor.
+    """
+    def depth_in_owner(candidate):
+        for c in classes:
+            if candidate in c.__mro__:
+                return c.__mro__.index(candidate)
+        return 0
+
+    acceptable = [
+        candidate
+        for c in classes
+        for candidate in c.__mro__
+        if all(issubclass(other, candidate) for other in classes)
+    ]
+    # every MRO ends at object, so acceptable is never empty
+    return min(acceptable, key=depth_in_owner)
 
 
 _Transf = collections.namedtuple('_Transf', ['func', 'doc', 'kind'])

@@ -111,9 +111,14 @@ def NNKernel(x, y, sigma0=1):
     def check():
         assert 0 < sigma0 < jnp.inf
     _jaxutil.skipifabstract(check)
-    q = sigma0 ** 2
-    denom = (1 + 2 * (q + _dot(x, x))) * (1 + 2 * (q + _dot(y, y)))
-    return 2 / jnp.pi * jnp.arcsin(2 * (q + _dot(x, y)) / denom)
+    bias2 = sigma0 ** 2
+    # augmented dot products <(σ₀, x), (σ₀, y)> of the bias-extended
+    # inputs; the two diagonal ones normalize the arcsin argument
+    gxy = bias2 + _dot(x, y)
+    gxx = bias2 + _dot(x, x)
+    gyy = bias2 + _dot(y, y)
+    return 2 / jnp.pi * jnp.arcsin(
+        2 * gxy / ((1 + 2 * gxx) * (1 + 2 * gyy)))
 
 
 @kernel
@@ -126,10 +131,12 @@ def Gibbs(x, y, scalefun=lambda x: 1):
         assert jnp.all(sx > 0)
         assert jnp.all(sy > 0)
     _jaxutil.skipifabstract(check)
-    denom = sx ** 2 + sy ** 2
-    factor = jnp.sqrt(2 * sx * sy / denom)
-    distsq = _util.sum_recurse_fields(lambda x, y: (x - y) ** 2, x, y)
-    return factor * jnp.exp(-distsq / denom)
+    # mean-square of the two local scales sets the effective Gaussian
+    # width; the prefactor restores k(x, x) = 1
+    ms2 = sx ** 2 + sy ** 2
+    norm = jnp.sqrt(2 * sx * sy / ms2)
+    d2 = _util.sum_recurse_fields(lambda x, y: (x - y) ** 2, x, y)
+    return norm * jnp.exp(-d2 / ms2)
 
 
 @stationarykernel(derivable=True, maxdim=1)

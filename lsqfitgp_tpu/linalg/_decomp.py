@@ -1080,7 +1080,7 @@ def chol_nll_stream(profile, x, y, *, params=(), epsabs=None,
 def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
                      block=512, b1=128, precision='high',
                      interpret=None, return_nll=False,
-                     return_var=False, return_cov=False):
+                     return_var=False, return_cov=False, shard=None):
     """Streaming GP posterior MEAN at ``xstar`` (plus optionally the
     training NLL) with the same never-materialized-Gram machinery as
     :func:`chol_nll_stream`:
@@ -1124,9 +1124,13 @@ def chol_pred_stream(profile, x, y, xstar, *, params=(), epsabs=None,
     prec = _blocked._precision(precision)
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    # shard: optional row-sharding-constraint callable (see
+    # parallel._dstream._row_shard) — the factor tree then lives
+    # row-sharded across the mesh and GSPMD partitions the Gram strip
+    # evaluation; the tree solves below ride GSPMD's propagation
     tree, dinvs = _blocked._chol_rec_tree_gram(
         Xp, xn, profile, params, jnp.asarray(eps, dtype), 0,
-        npad // block, block, b1, prec, bump, interpret, n)
+        npad // block, block, b1, prec, bump, interpret, n, shard)
     _stream_warn_if_degraded(
         dinvs, eps, k0, n, 'chol_pred_stream', bump=bump,
         resid=_stream_probe_resid(tree, profile, params, Xp, n, eps,
@@ -1625,7 +1629,8 @@ def _kmat_stream(profile, pvec, lenscale, eps, Xp, n, T, block, prec,
 
 def chol_stream_fisher(profile, x, *, params=(), lenscale=None,
                        epsabs=1e-4, tangents, dr=None, block=512,
-                       b1=128, fisherblock=None, precision='high'):
+                       b1=128, fisherblock=None, precision='high',
+                       shard=None):
     """EXACT expected-information (Fisher) matrix of the streaming
     Gaussian NLL in arbitrary hyperparameter directions, with the Gram
     never materialized — the streaming analog of ``Chol.fisher``
@@ -1687,7 +1692,7 @@ def chol_stream_fisher(profile, x, *, params=(), lenscale=None,
     epsk = _pad_eps(ep + 4 * mach * k0, n, npad, dtype)
     tree, dinvs = _blocked._chol_rec_tree_gram(
         Xs, xn, profile, pvec, epsk, 0, npad // block,
-        block, int(b1), prec, bump, interpret, n)
+        block, int(b1), prec, bump, interpret, n, shard)
 
     def kmat(pv, l, e, T):
         return _kmat_stream(profile, pv, l, e, Xp, n, T, block, prec,

@@ -440,3 +440,97 @@ def test_stream_nll_distributed_grad_heteroskedastic(rng):
     np.testing.assert_allclose(float(v), float(vd), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
                                rtol=0.02, atol=1e-3)
+
+
+def test_gp_surface_distributed_streaming(rng):
+    """GP(solver='chol-stream', mesh=...): the mesh-distributed
+    streaming model is served by the SAME public surface as the
+    single-chip one — marginal_likelihood + gradient and the
+    streaming posterior all match the mesh-free solver (the round-4
+    side-door `stream_nll_distributed_grad` closure is no longer
+    needed; reference one-surface contract:
+    /root/reference/src/lsqfitgp/_GP/_compute.py:138-330)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    import lsqfitgp_tpu as lgp
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ('r',))
+    n = 256
+    x = np.sort(rng.uniform(-5, 5, n)).astype(np.float32)
+    xs = np.linspace(-4, 4, 32).astype(np.float32)
+    y = rng.standard_normal(n).astype(np.float32)
+
+    def build(amp, **kw):
+        return (
+            lgp.GP(amp * lgp.ExpQuad(scale=1.5), solver='chol-stream',
+                   checkpos=False, block=128, b1=128, **kw)
+            .addx(x, 'd').addx(xs, 's')
+        )
+
+    def nll_single(amp):
+        return -build(amp).marginal_likelihood({'d': y}, 0.01)
+
+    def nll_mesh(amp):
+        return -build(amp, mesh=mesh).marginal_likelihood({'d': y},
+                                                          0.01)
+
+    a0 = jnp.float32(1.4)
+    v1, g1 = jax.jit(jax.value_and_grad(nll_single))(a0)
+    v2, g2 = jax.jit(jax.value_and_grad(nll_mesh))(a0)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-4)
+    np.testing.assert_allclose(float(g2), float(g1), rtol=1e-2,
+                               atol=1e-4 * abs(float(v1)))
+
+    p1 = build(a0).predfromdata({'d': y}, 's', 0.01)
+    p2 = build(a0, mesh=mesh).predfromdata({'d': y}, 's', 0.01)
+    # f32 + different reduction orders (sharded dense-Schur recursion
+    # vs single-chip gram-fused kernels): parity to ~1e-3 absolute
+    np.testing.assert_allclose(np.asarray(p2.mean),
+                               np.asarray(p1.mean),
+                               rtol=5e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(p2.sdev),
+                               np.asarray(p1.sdev),
+                               rtol=5e-2, atol=1e-3)
+
+
+def test_gp_surface_distributed_streaming_fit(rng):
+    """End-to-end mesh-distributed streaming FIT through empbayes_fit
+    — no custom_nll closure, covariance from the sharded streamed
+    Fisher — matching the single-chip streaming fit."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    import lsqfitgp_tpu as lgp
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ('r',))
+    n = 256
+    x = np.sort(rng.uniform(-5, 5, n)).astype(np.float32)
+    xd = np.asarray(
+        np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2 / 1.5 ** 2),
+        np.float64)
+    y = (np.linalg.cholesky(xd + 0.01 * np.eye(n))
+         @ rng.standard_normal(n)).astype(np.float32)
+    hyp = {'log(amp)': (0.0, 1.0)}
+
+    def run(**kw):
+        def gpfac(hp):
+            return (
+                lgp.GP(hp['amp'] * lgp.ExpQuad(scale=1.5),
+                       solver='chol-stream', checkpos=False,
+                       block=128, b1=128, **kw)
+                .addx(x, 'd')
+            )
+        return lgp.empbayes_fit(
+            hyp, gpfac, ({'d': y}, 0.01), verbosity=0,
+            covariance='fisher', jit=True)
+
+    f1 = run()
+    f2 = run(mesh=mesh)
+    # both converge to the same optimum within minimizer tolerance
+    # (the f32 gradients differ in reduction order across the two
+    # paths; exact NLL/grad parity is asserted in the sibling test)
+    np.testing.assert_allclose(float(f2.pmean['log(amp)']),
+                               float(f1.pmean['log(amp)']),
+                               rtol=0, atol=2e-2)
+    sd1 = float(f1.p['log(amp)'].sdev)
+    sd2 = float(f2.p['log(amp)'].sdev)
+    np.testing.assert_allclose(sd2, sd1, rtol=5e-2)
